@@ -1,0 +1,23 @@
+"""t2ms_tpu — a TPU-native text-to-time-series diffusion framework.
+
+A ground-up JAX/XLA/Pallas re-design with the capabilities of the
+T2MS reference (T2S IJCAI'25 fork): length-adaptive VAEs, rectified-flow /
+DDPM latent diffusion with DiT or MLP denoisers, text conditioning with
+classifier-free guidance, the full evaluation suite (C-FID via TS2Vec,
+CRPS/MRR/DTW/feature-based measures), motion datasets, skeleton rendering
+and the offline dataset-construction pipeline.
+
+Layer map (mirrors reference SURVEY.md §1, rebuilt TPU-first):
+  cli/        entry-point apps (train / infer / evaluate / pretrain_vae)
+  training/   jitted training loops, optimizers, checkpoints (Orbax)
+  sampling/   fused-CFG lax.scan samplers
+  models/     backbones (flow math), denoisers (DiT/MLP), VAEs
+  ops/        TPU kernels: resize-as-matmul, attention, fused adaLN
+  data/       length-bucketed host pipelines (CSV + motion JSON)
+  parallel/   mesh / sharding utilities (DP/TP over ICI)
+  evaluate/   metrics, TS2Vec (JAX), DTW (native C++ + XLA)
+  visualize/  skeleton animators, diagnostic plots
+  pipeline/   offline dataset construction (captions, embeddings, mergers)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,66 @@
+"""DDPM backbone: precomputed schedule arrays + pure jittable steps.
+
+Reference: model/backbone/DDPM.py:10-38 —
+  linear beta schedule 1e-4 -> 0.02 over total_steps, alpha_bar = cumprod,
+  q_sample forward noising, ancestral p_sample with sigma^2 = beta, MSE loss.
+
+TPU-native form: the schedule is a small pytree of device arrays closed over
+by jitted step functions (no torch-style buffers); sampling timesteps run
+*backwards* t = total_steps-1-j, matching infer.py:84.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["DDPMSchedule", "make_schedule", "q_sample", "p_sample", "loss"]
+
+
+class DDPMSchedule(NamedTuple):
+    beta: jnp.ndarray        # (T,)
+    alpha: jnp.ndarray       # (T,)
+    alpha_bar: jnp.ndarray   # (T,)
+    total_steps: int
+
+
+def make_schedule(total_steps: int, dtype=jnp.float32) -> DDPMSchedule:
+    beta = jnp.linspace(1e-4, 0.02, total_steps, dtype=dtype)
+    alpha = 1.0 - beta
+    alpha_bar = jnp.cumprod(alpha)
+    return DDPMSchedule(beta, alpha, alpha_bar, total_steps)
+
+
+def _gather(consts: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """consts[t] reshaped to (B, 1, 1, ...) for broadcasting
+    (reference DDPM.py:7-9)."""
+    c = consts[t]
+    return c.reshape(c.shape[0], *((1,) * (ndim - 1)))
+
+
+def q_sample(sched: DDPMSchedule, x0: jnp.ndarray, t: jnp.ndarray,
+             eps: jnp.ndarray):
+    """Forward noising: x_t = sqrt(a_bar)*x0 + sqrt(1-a_bar)*eps."""
+    a_bar = _gather(sched.alpha_bar, t, x0.ndim)
+    mean = jnp.sqrt(a_bar) * x0
+    var = 1.0 - a_bar
+    return mean + jnp.sqrt(var) * eps, eps
+
+
+def p_sample(sched: DDPMSchedule, key: jax.Array, xt: jnp.ndarray,
+             eps_pred: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """One ancestral reverse step (reference DDPM.py:28-36). Noise is always
+    added, including at t=0, matching the reference exactly."""
+    a_bar = _gather(sched.alpha_bar, t, xt.ndim)
+    a = _gather(sched.alpha, t, xt.ndim)
+    eps_coef = (1.0 - a) / jnp.sqrt(1.0 - a_bar)
+    mean = (xt - eps_coef * eps_pred) / jnp.sqrt(a)
+    var = _gather(sched.beta, t, xt.ndim)
+    eps = jax.random.normal(key, xt.shape, dtype=xt.dtype)
+    return mean + jnp.sqrt(var) * eps
+
+
+def loss(eps_pred: jnp.ndarray, eps_gt: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.square(eps_pred - eps_gt))

@@ -1,0 +1,29 @@
+"""PRNG utilities: threaded, fold_in-based key derivation.
+
+The reference seeds global RNGs (utils.py:26-36 seed_everything); the JAX
+equivalent threads explicit keys. ``step_key(root, step)`` gives exact
+reproducibility independent of execution order, and named folds keep the
+streams for noise / timestep / CFG-drop decorrelated.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import jax
+
+__all__ = ["root_key", "step_key", "named_fold"]
+
+
+def root_key(seed: int) -> jax.Array:
+    return jax.random.key(seed)
+
+
+def step_key(key: jax.Array, step) -> jax.Array:
+    return jax.random.fold_in(key, step)
+
+
+def named_fold(key: jax.Array, name: str) -> jax.Array:
+    """Deterministically derive a stream from a string tag."""
+    tag = int.from_bytes(hashlib.sha256(name.encode()).digest()[:4], "little")
+    return jax.random.fold_in(key, tag)
