@@ -1,0 +1,192 @@
+"""T2S-DiT denoiser, parametric from day one.
+
+Reference: model/denoiser/transformer.py (H hardcoded 30 at :132) and
+model/denoiser/mytransformer.py (H = flow_dim arg at :128-132). One module
+subsumes both: ``latent_len`` is the H axis, ``latent_dim`` the W axis.
+
+Architecture (reference transformer.py:94-204):
+  latent (B, C=latent_dim, L=latent_len) -> permute -> 1xHxW "image"
+  -> 2x2 patchify -> linear to d_model -> +sinusoidal pos-emb
+  -> depth x adaLN-zero DiT blocks conditioned on c = TimeEmb(t) + text_emb
+  -> LN -> linear un-patchify -> inverse reshape.
+
+TPU-native re-design decisions:
+  * patchify conv (k=stride=2) is algebraically a per-patch linear map; we
+    implement it as reshape + two dots (4->4 "conv" then 4->d_model) —
+    pure MXU work, no conv lowering.
+  * the CFG pair (uncond, cond) is run as ONE batched forward: text enters
+    the network only additively via c (transformer.py:176-178), so
+    text=None == text=0. Callers zero the uncond rows and stack on batch.
+  * attention is jnp.einsum-based (sequence <= ~1k tokens at reference
+    scale); a Pallas flash path can be swapped in for long-series mode.
+  * dtype policy: params f32, activations/matmuls in ``compute_dtype``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["DiT", "sinusoidal_positions", "time_embedding"]
+
+
+def sinusoidal_positions(num_positions: int, d_model: int) -> jnp.ndarray:
+    """Interleaved sin/cos table (reference transformer.py:14-23).
+
+    Computed in float64 numpy at trace time (the table is static) so the
+    trig is accurately rounded — f32 sin on accelerators loses precision in
+    argument reduction at large positions."""
+    import numpy as np
+    position = np.arange(num_positions, dtype=np.float64)[:, None]
+    div_term = np.exp(np.arange(0, d_model, 2, dtype=np.float64)
+                      * -(math.log(10000.0) / d_model))[None, :]
+    pe = np.zeros((num_positions, d_model), np.float64)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return jnp.asarray(pe.astype(np.float32))
+
+
+def time_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Diffusion-time embedding with the reference's t*100 scaling and
+    10000**linspace frequency table (transformer.py:25-40)."""
+    t = t.astype(jnp.float32) * 100.0
+    freqs = jnp.power(10000.0, jnp.linspace(0.0, 1.0, dim // 2))
+    ang = t[:, None] / freqs[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+def _xavier() -> nn.initializers.Initializer:
+    return nn.initializers.xavier_uniform()
+
+
+class _Attention(nn.Module):
+    """timm-style MHA: fused qkv (bias), scaled dot-product, out proj
+    (reference transformer.py:104 uses timm Attention(d, heads=4,
+    qkv_bias=True))."""
+    d_model: int
+    num_heads: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, D = x.shape
+        h = self.num_heads
+        hd = D // h
+        qkv = nn.Dense(3 * D, kernel_init=_xavier(), dtype=self.compute_dtype,
+                       name="qkv")(x)
+        q, k, v = jnp.split(qkv.reshape(B, N, 3, h, hd)
+                            .transpose(2, 0, 3, 1, 4), 3, axis=0)
+        q, k, v = q[0], k[0], v[0]                      # (B, h, N, hd)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        attn = attn.astype(self.compute_dtype)
+        y = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        y = y.transpose(0, 2, 1, 3).reshape(B, N, D)
+        return nn.Dense(D, kernel_init=_xavier(), dtype=self.compute_dtype,
+                        name="proj")(y)
+
+
+class _Mlp(nn.Module):
+    """timm Mlp with tanh-approximated GELU (transformer.py:100,105)."""
+    d_model: int
+    hidden: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, kernel_init=_xavier(),
+                     dtype=self.compute_dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=True)
+        return nn.Dense(self.d_model, kernel_init=_xavier(),
+                        dtype=self.compute_dtype, name="fc2")(x)
+
+
+def _modulate(x, shift, scale):
+    """x * (1 + scale) + shift with (B, D) broadcast over tokens
+    (transformer.py:7-8)."""
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+class DiTBlock(nn.Module):
+    """adaLN-zero transformer block (transformer.py:94-124)."""
+    d_model: int
+    num_heads: int
+    mlp_ratio: float
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c):
+        mod = nn.Dense(6 * self.d_model,
+                       kernel_init=nn.initializers.zeros,
+                       bias_init=nn.initializers.zeros,
+                       dtype=self.compute_dtype,
+                       name="adaLN_modulation")(nn.silu(c))
+        sh_a, sc_a, g_a, sh_m, sc_m, g_m = jnp.split(mod, 6, axis=-1)
+        ln = lambda y: nn.LayerNorm(use_bias=False, use_scale=False,
+                                    epsilon=1e-6, dtype=self.compute_dtype)(y)
+        x = x + g_a[:, None, :] * _Attention(
+            self.d_model, self.num_heads, self.compute_dtype,
+            name="attn")(_modulate(ln(x), sh_a, sc_a))
+        x = x + g_m[:, None, :] * _Mlp(
+            self.d_model, int(self.d_model * self.mlp_ratio),
+            self.compute_dtype, name="mlp")(_modulate(ln(x), sh_m, sc_m))
+        return x
+
+
+class DiT(nn.Module):
+    """Parametric-H DiT denoiser.
+
+    I/O contract matches the reference: ``__call__(x, t, text_emb)`` with
+    x (B, latent_dim, latent_len), t (B,) float (flow time) or int (DDPM
+    step), text_emb (B, d_model) or None; returns same shape as x.
+    """
+    latent_len: int = 30          # H (30 for T2S, flow_dim for T2MS)
+    latent_dim: int = 64          # W (VAE embedding channels)
+    d_model: int = 128
+    depth: int = 4
+    num_heads: int = 4
+    mlp_ratio: float = 2.0
+    patch_size: int = 2
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray,
+                 text_emb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        B = x.shape[0]
+        H, W, p = self.latent_len, self.latent_dim, self.patch_size
+        if x.shape[1] != W or x.shape[2] != H:
+            raise ValueError(f"expected latent (B,{W},{H}), got {x.shape}")
+        nh, nw = H // p, W // p
+        pc = nh * nw
+        dtype = self.compute_dtype
+
+        # permute to (B, H, W) then patchify via reshape: the 2x2 stride-2
+        # conv (transformer.py:137) is exactly a 4->4 linear per patch.
+        img = x.astype(dtype).transpose(0, 2, 1)              # (B, H, W)
+        patches = img.reshape(B, nh, p, nw, p).transpose(0, 1, 3, 2, 4)
+        patches = patches.reshape(B, pc, p * p)               # (B, pc, 4)
+        h = nn.Dense(p * p, kernel_init=_xavier(), dtype=dtype,
+                     name="patch_conv")(patches)              # conv-equivalent
+        h = nn.Dense(self.d_model, kernel_init=_xavier(), dtype=dtype,
+                     name="patch_emb")(h)
+        h = h + sinusoidal_positions(pc, self.d_model).astype(dtype)[None]
+
+        c = time_embedding(t, self.d_model).astype(dtype)
+        if text_emb is not None:
+            c = c + text_emb.astype(dtype)
+
+        for i in range(self.depth):
+            h = DiTBlock(self.d_model, self.num_heads, self.mlp_ratio,
+                         dtype, name=f"block_{i}")(h, c)
+
+        h = nn.LayerNorm(epsilon=1e-5, dtype=dtype, name="final_ln")(h)
+        h = nn.Dense(p * p, kernel_init=_xavier(), dtype=dtype,
+                     name="unpatch")(h)                        # (B, pc, 4)
+        # inverse of the patch extraction (transformer.py:184-190)
+        out = h.reshape(B, nh, nw, p, p).transpose(0, 1, 3, 2, 4)
+        out = out.reshape(B, H, W).transpose(0, 2, 1)          # (B, W, H)
+        return out.astype(x.dtype)
