@@ -1,0 +1,88 @@
+"""Checkpoint IO (Orbax) with the reference's artifact semantics.
+
+Reference saves dict checkpoints {model, optimizer, epoch, loss_list} every
+N epochs (train.py:92-95, mytrain.py:90-94) and resumes optimizer state and
+epoch from --checkpoint_path (train.py:42-47). We keep exactly those fields
+as an Orbax PyTree checkpoint {params, opt_state, step, loss_history}; VAE
+"final_model" checkpoints hold {params} (mirroring the state_dict saves at
+pretrained_mylavae.py:233).
+
+Directory naming matches the reference path schemas via t2ms_tpu.config.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+__all__ = ["save_train_ckpt", "load_train_ckpt", "save_params",
+           "load_params", "latest_step"]
+
+
+def _ckptr():
+    return ocp.StandardCheckpointer()
+
+
+def save_train_ckpt(directory: str, step: int, params, opt_state,
+                    loss_history=None) -> str:
+    """Save {params, opt_state, step, loss_history} at directory/model_{step}
+    (reference filename scheme 'model_{epoch}.pth')."""
+    path = os.path.abspath(os.path.join(directory, f"model_{step}"))
+    payload = {
+        "params": params,
+        "opt_state": opt_state,
+        "step": np.asarray(step),
+    }
+    ckptr = _ckptr()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    # variable-length host artifact lives beside the Orbax tree
+    np.save(os.path.join(path, "loss_history.npy"),
+            np.asarray(loss_history if loss_history is not None else [],
+                       dtype=np.float32))
+    return path
+
+
+def load_train_ckpt(path: str, params_like, opt_state_like) -> Dict[str, Any]:
+    target = {
+        "params": params_like,
+        "opt_state": opt_state_like,
+        "step": np.asarray(0),
+    }
+    restored = _ckptr().restore(os.path.abspath(path), target)
+    hist_path = os.path.join(os.path.abspath(path), "loss_history.npy")
+    restored["loss_history"] = (np.load(hist_path).tolist()
+                                if os.path.exists(hist_path) else [])
+    return restored
+
+
+def save_params(directory: str, params, name: str = "final_model") -> str:
+    path = os.path.abspath(os.path.join(directory, name))
+    ckptr = _ckptr()
+    ckptr.save(path, {"params": params}, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_params(path: str, params_like):
+    restored = _ckptr().restore(os.path.abspath(path),
+                                {"params": params_like})
+    return restored["params"]
+
+
+def latest_step(directory: str) -> Optional[int]:
+    """Largest N among model_N subdirectories."""
+    if not os.path.isdir(directory):
+        return None
+    steps = []
+    for entry in os.listdir(directory):
+        if entry.startswith("model_"):
+            try:
+                steps.append(int(entry.split("_", 1)[1]))
+            except ValueError:
+                continue
+    return max(steps) if steps else None

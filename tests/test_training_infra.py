@@ -1,0 +1,67 @@
+"""Schedule golden tests vs torch LR schedulers + Orbax checkpoint roundtrip."""
+
+import numpy as np
+import torch
+import jax.numpy as jnp
+import optax
+
+from t2ms_tpu.training.optim import vae_schedule
+from t2ms_tpu.training import checkpoints as ckpt
+
+
+def test_onecycle_matches_torch():
+    total = 500
+    sched = optax.cosine_onecycle_schedule(
+        transition_steps=total, peak_value=1e-4, pct_start=0.3,
+        div_factor=25.0, final_div_factor=1e4)
+    m = torch.nn.Linear(1, 1)
+    opt = torch.optim.AdamW(m.parameters(), lr=1e-4)
+    tsched = torch.optim.lr_scheduler.OneCycleLR(opt, max_lr=1e-4,
+                                                 total_steps=total)
+    torch_lrs, ours = [], []
+    for i in range(total):
+        torch_lrs.append(opt.param_groups[0]["lr"])
+        ours.append(float(sched(i)))
+        opt.step()
+        tsched.step()
+    np.testing.assert_allclose(ours, torch_lrs, rtol=2e-2, atol=2e-7)
+
+
+def test_vae_schedule_matches_torch_sequential():
+    m = torch.nn.Linear(1, 1)
+    opt = torch.optim.AdamW(m.parameters(), lr=1e-3, weight_decay=1e-2)
+    s1 = torch.optim.lr_scheduler.LinearLR(opt, start_factor=0.1,
+                                           total_iters=1000)
+    s2 = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=400 - 1000,
+                                                    eta_min=1e-6)
+    seq = torch.optim.lr_scheduler.SequentialLR(opt, [s1, s2],
+                                                milestones=[1000])
+    sched = vae_schedule(1e-3)
+    torch_lrs, ours = [], []
+    for i in range(1800):
+        torch_lrs.append(opt.param_groups[0]["lr"])
+        ours.append(float(sched(i)))
+        opt.step()
+        seq.step()
+    np.testing.assert_allclose(ours, torch_lrs, rtol=1e-3, atol=1e-8)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)}
+    opt = optax.adamw(1e-3)
+    state = opt.init(params)
+    d = str(tmp_path / "ckpts")
+    path = ckpt.save_train_ckpt(d, 42, params, state, [0.5, 0.4])
+    assert ckpt.latest_step(d) == 42
+    restored = ckpt.load_train_ckpt(path, params, state)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.asarray(params["w"]))
+    assert int(restored["step"]) == 42
+    np.testing.assert_allclose(restored["loss_history"], [0.5, 0.4])
+
+
+def test_params_only_roundtrip(tmp_path):
+    params = {"k": jnp.ones((4, 4))}
+    path = ckpt.save_params(str(tmp_path), params)
+    back = ckpt.load_params(path, params)
+    np.testing.assert_array_equal(np.asarray(back["k"]), np.ones((4, 4)))
