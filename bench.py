@@ -1,0 +1,84 @@
+"""Headline benchmark: CFG sampling throughput at len-96 (series/sec/chip).
+
+Flagship path = reference-scale T2S stack (LA-VAE latent 30x64 + 4-block
+DiT d=128) sampled with the fused-CFG lax.scan sampler, total_step=100,
+cfg_scale=7 — the op-point family of reference scripts/script.sh.
+
+vs_baseline compares against the torch reference-equivalent sampler
+measured on this host (see scripts/measure_torch_baseline.py; number
+recorded in BASELINE.md). The torch baseline runs the same architecture
+with the reference's Python loop + 2 forwards/step.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Measured torch-CPU reference-equivalent throughput on this host
+# (scripts/measure_torch_baseline.py); update when re-measured.
+TORCH_BASELINE_SERIES_PER_SEC = None  # filled from BASELINE_MEASURED.json
+
+
+def _load_baseline():
+    path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+        return data.get("torch_sampler_series_per_sec_len96")
+    return None
+
+
+def main():
+    from t2ms_tpu.models.denoisers import DiT
+    from t2ms_tpu.models.vae import LAVAE
+    from t2ms_tpu.sampling import make_cfg_sampler
+
+    B = 256
+    total_step = 100
+    out_len = 96
+
+    dit = DiT(latent_len=30, latent_dim=64)
+    vae = LAVAE(in_channels=1, latent_grid=30)
+
+    x = jax.random.normal(jax.random.key(0), (B, out_len))
+    emb = jax.random.normal(jax.random.key(1), (B, 128))
+    vae_params = vae.init(jax.random.key(2), x)
+    z, _ = vae.apply(vae_params, x, method=vae.encode)
+    d_params = dit.init(jax.random.key(3), z, jnp.zeros(B), emb)
+
+    sampler = make_cfg_sampler(dit, vae, "flowmatching",
+                               total_step=total_step, cfg_scale=7.0,
+                               out_length=out_len)
+    import numpy as np
+    # compile + warmup; NOTE: sync via host transfer — block_until_ready()
+    # does not actually block through the axon TPU tunnel.
+    out = sampler(d_params, vae_params, jax.random.key(4), x, emb)
+    np.asarray(out.series)
+
+    runs = 3
+    t0 = time.perf_counter()
+    for i in range(runs):
+        out = sampler(d_params, vae_params, jax.random.key(5 + i), x, emb)
+        np.asarray(out.series)
+    dt = time.perf_counter() - t0
+    series_per_sec = B * runs / dt
+
+    baseline = _load_baseline()
+    vs = series_per_sec / baseline if baseline else float("nan")
+    print(json.dumps({
+        "metric": "cfg_sampling_throughput_len96",
+        "value": round(series_per_sec, 2),
+        "unit": "series/sec/chip",
+        "vs_baseline": round(vs, 2) if vs == vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""CFG sampling as a single compiled lax.scan — the serving path.
+
+Reference loop (infer.py:65-110, myinfer.py:156-219): a Python loop over
+``total_step`` with TWO forwards per step (uncond + cond), then
+``pred = uncond + cfg_scale * (cond - uncond)`` and an Euler / ancestral
+update; flow time runs forward t = j/step, DDPM runs backward
+t = step-1-j (infer.py:78,84).
+
+TPU-native re-design (the headline-perf component):
+  * the whole denoise loop is ONE ``lax.scan`` inside ONE ``jit`` — zero
+    Python dispatch per step;
+  * cond and uncond are FUSED into a single forward of batch 2B by stacking
+    on the batch axis with the uncond half's text zeroed (text conditioning
+    is additive, so zeros == the reference's text=None);
+  * the latent trajectory is (optionally) collected by scan and decoded in
+    ONE batched VAE decode afterwards — the reference decodes per step on
+    host for its diffusion GIF (infer.py:90-93);
+  * final decode at the requested output length (static per bucket).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from t2ms_tpu.models.backbones import ddpm as ddpm_lib
+from t2ms_tpu.models.backbones import rectified_flow as rf
+
+__all__ = ["SamplerOutput", "make_cfg_sampler", "decode_trajectory"]
+
+
+class SamplerOutput(NamedTuple):
+    series: jnp.ndarray            # decoded (B, ...) at output length
+    latent: jnp.ndarray            # final latent x_t
+    latent_enc: jnp.ndarray        # VAE-encoded ground-truth latent
+    trajectory: Optional[jnp.ndarray]  # (steps, B, ...) latents or None
+
+
+def _fused_cfg_forward(denoiser, params, x_t, t, text_emb, cfg_scale):
+    """One 2B-batch forward for the CFG pair."""
+    B = x_t.shape[0]
+    x2 = jnp.concatenate([x_t, x_t], axis=0)
+    t2 = jnp.concatenate([t, t], axis=0)
+    e2 = jnp.concatenate([jnp.zeros_like(text_emb), text_emb], axis=0)
+    pred2 = denoiser.apply(params, x2, t2, e2)
+    uncond, cond = pred2[:B], pred2[B:]
+    return uncond + cfg_scale * (cond - uncond)
+
+
+def make_cfg_sampler(
+    denoiser,
+    vae_model,
+    backbone: str = "flowmatching",
+    total_step: int = 100,
+    cfg_scale: float = 7.0,
+    out_length: int = 96,
+    collect_trajectory: bool = False,
+) -> Callable:
+    """Build the jitted sampler.
+
+    Returned signature: sample(params, vae_params, key, x_1, text_emb)
+    -> SamplerOutput. ``x_1`` is the conditioning ground-truth batch (used
+    only for the latent SHAPE and the encoded-latent diagnostic, mirroring
+    infer.py:73-75).
+    """
+    if backbone not in ("flowmatching", "ddpm"):
+        raise ValueError(f"Unsupported backbone type: {backbone}")
+    sched = (ddpm_lib.make_schedule(total_step)
+             if backbone == "ddpm" else None)
+
+    @jax.jit
+    def sample(params, vae_params, key, x_1, text_emb):
+        z_enc, _ = vae_model.apply(vae_params, x_1, method=vae_model.encode)
+        x_t0 = jax.random.normal(key, z_enc.shape, dtype=z_enc.dtype)
+        B = x_t0.shape[0]
+
+        def flow_step(x_t, j):
+            t = jnp.full((B,), j / total_step, dtype=x_t0.dtype)
+            pred = _fused_cfg_forward(denoiser, params, x_t, t, text_emb,
+                                      cfg_scale)
+            x_next = rf.euler(x_t, pred, 1.0 / total_step)
+            return x_next, (x_next if collect_trajectory else None)
+
+        def ddpm_step(x_t, j):
+            t = jnp.full((B,), total_step - 1 - j, dtype=jnp.int32)
+            pred = _fused_cfg_forward(denoiser, params, x_t, t, text_emb,
+                                      cfg_scale)
+            step_key = jax.random.fold_in(key, j)
+            x_next = ddpm_lib.p_sample(sched, step_key, x_t, pred, t)
+            return x_next, (x_next if collect_trajectory else None)
+
+        body = flow_step if backbone == "flowmatching" else ddpm_step
+        x_t, traj = jax.lax.scan(body, x_t0, jnp.arange(total_step))
+        series, _ = vae_model.apply(vae_params, x_t, out_length,
+                                    method=vae_model.decode)
+        return SamplerOutput(series=series, latent=x_t, latent_enc=z_enc,
+                             trajectory=traj)
+
+    return sample
+
+
+def decode_trajectory(vae_model, vae_params, trajectory: jnp.ndarray,
+                      out_length: int, sample_index: int = 0) -> jnp.ndarray:
+    """Decode one sample's whole latent trajectory in a single batched VAE
+    decode (replaces the reference's per-step host decode for the diffusion
+    GIF, infer.py:90-93). trajectory: (steps, B, C, L) -> (steps, ...)."""
+    lat = trajectory[:, sample_index]
+    series, _ = vae_model.apply(vae_params, lat, out_length,
+                                method=vae_model.decode)
+    return series

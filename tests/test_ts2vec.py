@@ -1,0 +1,105 @@
+"""TS2Vec tests: encoder shapes/NaN handling, contrastive-loss oracles vs an
+inline torch formulation, a short fit run, and the C-FID pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from t2ms_tpu.evaluate.fid import calculate_fid
+from t2ms_tpu.evaluate.ts2vec import (TS2Vec, TSEncoder,
+                                      hierarchical_contrastive_loss,
+                                      instance_contrastive_loss,
+                                      temporal_contrastive_loss)
+
+
+def test_encoder_shapes_and_nan_padding_equivalence():
+    enc = TSEncoder(input_dims=3, output_dims=16, hidden_dims=8, depth=3)
+    x = np.random.default_rng(0).standard_normal((2, 24, 3)).astype(np.float32)
+    params = enc.init(jax.random.key(0), jnp.asarray(x))
+    out = enc.apply(params, jnp.asarray(x), train=False)
+    assert out.shape == (2, 24, 16)
+
+    # NaN-padded long buffer must equal the short window at real positions
+    short = x[:, :10]
+    padded = np.full_like(x, np.nan)
+    padded[:, :10] = short
+    o_short = enc.apply(params, jnp.asarray(short), train=False)
+    o_pad = enc.apply(params, jnp.asarray(padded), train=False)
+    np.testing.assert_allclose(np.asarray(o_pad[:, :10]),
+                               np.asarray(o_short), rtol=1e-4, atol=1e-5)
+
+
+def _torch_pair_loss(z_t):
+    sim = torch.matmul(z_t, z_t.transpose(1, 2))
+    logits = torch.tril(sim, diagonal=-1)[:, :, :-1]
+    logits = logits + torch.triu(sim, diagonal=1)[:, :, 1:]
+    logits = -F.log_softmax(logits, dim=-1)
+    return logits
+
+
+def test_instance_loss_matches_torch():
+    rng = np.random.default_rng(1)
+    z1 = rng.standard_normal((4, 6, 8)).astype(np.float32)
+    z2 = rng.standard_normal((4, 6, 8)).astype(np.float32)
+    got = float(instance_contrastive_loss(jnp.asarray(z1), jnp.asarray(z2)))
+    z = torch.cat([torch.tensor(z1), torch.tensor(z2)], dim=0).transpose(0, 1)
+    logits = _torch_pair_loss(z)
+    B = 4
+    i = torch.arange(B)
+    want = float((logits[:, i, B + i - 1].mean()
+                  + logits[:, B + i, i].mean()) / 2)
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_temporal_loss_matches_torch():
+    rng = np.random.default_rng(2)
+    z1 = rng.standard_normal((3, 5, 8)).astype(np.float32)
+    z2 = rng.standard_normal((3, 5, 8)).astype(np.float32)
+    got = float(temporal_contrastive_loss(jnp.asarray(z1), jnp.asarray(z2)))
+    z = torch.cat([torch.tensor(z1), torch.tensor(z2)], dim=1)
+    logits = _torch_pair_loss(z)
+    T = 5
+    t = torch.arange(T)
+    want = float((logits[:, t, T + t - 1].mean()
+                  + logits[:, T + t, t].mean()) / 2)
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_hierarchical_loss_finite_and_positive():
+    rng = np.random.default_rng(3)
+    z1 = jnp.asarray(rng.standard_normal((4, 8, 16)), jnp.float32)
+    z2 = jnp.asarray(rng.standard_normal((4, 8, 16)), jnp.float32)
+    v = float(hierarchical_contrastive_loss(z1, z2))
+    assert np.isfinite(v) and v > 0
+    assert np.isfinite(float(hierarchical_contrastive_loss(z1[:1], z2[:1])))
+
+
+def test_fit_runs_and_cfid_discriminates():
+    """Short fit; C-FID(self) must be far below C-FID(shifted data)."""
+    rng = np.random.default_rng(4)
+    tt = np.linspace(0, 1, 24)
+    data = np.stack([np.sin(2 * np.pi * f * tt) for f in
+                     rng.uniform(1, 3, 24)])[:, :, None].astype(np.float32)
+    model = TS2Vec(input_dims=1, output_dims=16, hidden_dims=8, depth=3,
+                   batch_size=8, seed=0)
+    log = model.fit(data, n_iters=12)
+    assert len(log) >= 1 and all(np.isfinite(v) for v in log)
+
+    repr_self = model.encode(data, encoding_window="full_series")
+    assert repr_self.shape == (24, 16)
+    other = data + 5.0
+    repr_other = model.encode(other, encoding_window="full_series")
+    fid_self = calculate_fid(repr_self,
+                             model.encode(data, encoding_window="full_series"))
+    fid_other = calculate_fid(repr_self, repr_other)
+    assert abs(fid_self) < 1e-6
+    assert fid_other > 1e-3
+
+
+def test_encode_requires_fit():
+    model = TS2Vec(input_dims=1)
+    with pytest.raises(AssertionError):
+        model.encode(np.zeros((2, 8, 1), np.float32))
