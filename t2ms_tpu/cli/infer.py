@@ -1,0 +1,144 @@
+"""T2S CFG sampling CLI (the serving path).
+
+Reference: infer.py — flag surface (:127-147), run_multi x10 (:148-164),
+per-batch CFG loop -> here one compiled lax.scan sampler, decode at
+x_1.shape[-1], .npy outputs {x_1, x_t, x_t_latent_dec_array,
+x_t_latent_enc_array} (:112-123), GT-vs-generated figure dump and the
+diffusion GIF from batch 0 (:157-198).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t2ms_tpu.cli._common import build_denoiser, build_t2s_vae
+from t2ms_tpu.config import denoiser_ckpt_dir, generation_dir, t2s_pretrained_dir
+from t2ms_tpu.data.provider import t2s_loader_provider
+from t2ms_tpu.sampling import decode_trajectory, make_cfg_sampler
+from t2ms_tpu.training import checkpoints as ckpt
+from t2ms_tpu.utils.prng import root_key, step_key
+from t2ms_tpu.visualize.diagnostics import (plot_generation_figs,
+                                            save_diffusion_gif)
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="Inference flow matching model")
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--data_root", type=str, default="./Data")
+    p.add_argument("--save_path", type=str,
+                   default="./results/denoiser_results")
+    p.add_argument("--usepretrainedvae", default=True)
+    p.add_argument("--backbone", type=str, default="flowmatching")
+    p.add_argument("--denoiser", type=str, default="DiT")
+    p.add_argument("--cfg_scale", type=float, default=7)
+    p.add_argument("--total_step", type=int, default=100)
+    p.add_argument("--checkpoint_id", type=int, default=19999)
+    p.add_argument("--dataset_name", type=str, default="exchangerate_24")
+    p.add_argument("--run_multi", type=lambda s: s not in ("0", "False"),
+                   default=False)
+    p.add_argument("--general_seed", type=int, default=2025)
+    p.add_argument("--max_batches", type=int, default=0,
+                   help="0 = all test batches")
+    args = p.parse_args(argv)
+    args.mix_train = False
+    model_root = args.dataset_name.split("_")[0]
+    args.checkpoint_path = os.path.join(
+        denoiser_ckpt_dir(args.save_path, args.backbone, args.denoiser,
+                          model_root),
+        f"model_{args.checkpoint_id}")
+    args.pretrained_model_path = os.path.join(
+        t2s_pretrained_dir(model_root), "final_model")
+    args.generation_save_path = generation_dir(
+        args.save_path, args.backbone, args.denoiser, args.dataset_name,
+        args.cfg_scale, args.total_step)
+    return args
+
+
+def infer(args, run_dir: str, seed_offset: int = 0, collect_gif=True):
+    os.makedirs(run_dir, exist_ok=True)
+    datasets, batcher = t2s_loader_provider(args, "test")
+    length = datasets[0].length
+    print(f"Inference config::Step: {args.total_step}\t"
+          f"CFG Scale: {args.cfg_scale}")
+
+    vae = build_t2s_vae()
+    probe = jnp.zeros((2, length))
+    vae_params = vae.init(jax.random.key(0), probe)
+    if os.path.exists(args.pretrained_model_path):
+        vae_params = ckpt.load_params(args.pretrained_model_path, vae_params)
+
+    denoiser = build_denoiser(args.denoiser, latent_len=30, latent_dim=64)
+    z, _ = vae.apply(vae_params, probe, method=vae.encode)
+    d_params = denoiser.init(jax.random.key(1), z, jnp.zeros(2),
+                             jnp.zeros((2, 128)))
+    if os.path.exists(args.checkpoint_path):
+        restored = ckpt.load_train_ckpt(args.checkpoint_path, d_params, None)
+        d_params = restored["params"]
+        print(f"Loaded denoiser from {args.checkpoint_path}")
+    else:
+        print(f"WARNING: no checkpoint at {args.checkpoint_path}; "
+              "sampling from random weights")
+
+    sampler = make_cfg_sampler(denoiser, vae, args.backbone,
+                               args.total_step, args.cfg_scale,
+                               out_length=length, collect_trajectory=True)
+    key = root_key(args.general_seed + seed_offset)
+
+    x1s, xts, lat_dec, lat_enc = [], [], [], []
+    gif_frames = None
+    for b, batch in enumerate(batcher.epoch(0)):
+        if args.max_batches and b >= args.max_batches:
+            break
+        print(f"Generating {b}th Batch TS...")
+        out = sampler(d_params, vae_params, step_key(key, b),
+                      jnp.asarray(batch.x), jnp.asarray(batch.embedding))
+        x1s.append(np.asarray(batch.x))
+        xts.append(np.asarray(out.series))
+        lat_dec.append(np.asarray(out.latent))
+        lat_enc.append(np.asarray(out.latent_enc))
+        if b == 0 and collect_gif:
+            frames = np.asarray(decode_trajectory(vae, vae_params,
+                                                  out.trajectory, length))
+            gt, _ = vae.apply(vae_params, out.latent_enc[:1], length,
+                              method=vae.decode)
+            gif_frames = list(frames) + [np.asarray(gt)[0]]
+
+    x_1 = np.concatenate(x1s)[:, :, None]
+    x_t = np.concatenate(xts)[:, :, None]
+    np.save(os.path.join(run_dir, "x_1.npy"), x_1)
+    np.save(os.path.join(run_dir, "x_t.npy"), x_t)
+    np.save(os.path.join(run_dir, "x_t_latent_dec_array.npy"),
+            np.concatenate(lat_dec))
+    np.save(os.path.join(run_dir, "x_t_latent_enc_array.npy"),
+            np.concatenate(lat_enc))
+    return x_1, x_t, gif_frames
+
+
+def main(argv=None):
+    args = get_args(argv)
+    print("start generate", args.run_multi)
+    if args.run_multi:
+        x_1, x_t, _ = infer(args, args.generation_save_path, 0,
+                            collect_gif=False)
+        for run_index in range(10):
+            run_dir = os.path.join(args.generation_save_path,
+                                   f"run_{run_index}")
+            x_1, x_t, _ = infer(args, run_dir, run_index + 1,
+                                collect_gif=False)
+        plot_generation_figs(x_1, x_t, args.generation_save_path)
+    else:
+        x_1, x_t, frames = infer(args, args.generation_save_path, 0)
+        plot_generation_figs(x_1, x_t, args.generation_save_path)
+        if frames:
+            save_diffusion_gif(frames, args.generation_save_path,
+                               f"animation_{args.backbone}.gif",
+                               step_stride=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""T2S denoiser training CLI.
+
+Reference: train.py — flag surface (:138-158), mix/split training paths
+(:52-136), OneCycle AdamW (:37-38), checkpoint-resume (:42-47), save every
+1000 epochs, path scheme checkpoints/{backbone}_{denoiser}_{dataset}.
+
+TPU path: the per-batch work is one jitted step per length bucket; the
+Python loop only routes host batches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t2ms_tpu.cli._common import build_denoiser, build_t2s_vae
+from t2ms_tpu.config import denoiser_ckpt_dir, t2s_pretrained_dir
+from t2ms_tpu.data.provider import t2s_loader_provider
+from t2ms_tpu.training import checkpoints as ckpt
+from t2ms_tpu.training.optim import onecycle_adamw
+from t2ms_tpu.training.trainer import TrainState, make_denoiser_train_step
+from t2ms_tpu.utils.logging import JsonlLogger, StepTimer
+from t2ms_tpu.utils.prng import root_key, step_key
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="Train T2S model")
+    p.add_argument("--checkpoint_path", type=str, default="")
+    p.add_argument("--dataset_name", type=str, default="ETTh1")
+    p.add_argument("--data_root", type=str, default="./Data")
+    p.add_argument("--batch_size", type=int, default=9216)
+    p.add_argument("--epochs", type=int, default=20000)
+    p.add_argument("--save_path", type=str,
+                   default="./results/denoiser_results")
+    p.add_argument("--mix_train", type=lambda s: s not in ("0", "False"),
+                   default=True)
+    p.add_argument("--usepretrainedvae", default=True)
+    p.add_argument("--total_step", type=int, default=100)
+    p.add_argument("--backbone", type=str, default="flowmatching")
+    p.add_argument("--denoiser", type=str, default="DiT")
+    p.add_argument("--general_seed", type=int, default=2025)
+    p.add_argument("--save_every", type=int, default=1000)
+    args = p.parse_args(argv)
+    root = args.dataset_name.split("_")[0]
+    args.pretrained_model_path = os.path.join(
+        t2s_pretrained_dir(root), "final_model")
+    args.save_path = denoiser_ckpt_dir(args.save_path, args.backbone,
+                                       args.denoiser, args.dataset_name)
+    return args
+
+
+def train(args):
+    print(f"Training config::\tepoch: {args.epochs}\t"
+          f"save_path: {args.save_path}")
+    os.makedirs(args.save_path, exist_ok=True)
+    datasets, batcher = t2s_loader_provider(args, "train")
+
+    vae = build_t2s_vae()
+    probe = jnp.zeros((2, datasets[0].length))
+    vae_params = vae.init(jax.random.key(0), probe)
+    if os.path.exists(args.pretrained_model_path):
+        vae_params = ckpt.load_params(args.pretrained_model_path, vae_params)
+        print(f"Loaded pretrained VAE from {args.pretrained_model_path}")
+    else:
+        print(f"WARNING: no pretrained VAE at {args.pretrained_model_path}; "
+              "training against a random frozen encoder")
+
+    denoiser = build_denoiser(args.denoiser, latent_len=30, latent_dim=64)
+    z, _ = vae.apply(vae_params, probe, method=vae.encode)
+    params = denoiser.init(jax.random.key(1), z, jnp.zeros(2),
+                           jnp.zeros((2, 128)))
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    print(f"Total learnable parameters: {n_params}")
+
+    opt = onecycle_adamw(total_steps=len(batcher) * args.epochs)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step_fn = make_denoiser_train_step(denoiser, vae, opt, args.backbone,
+                                       args.total_step)
+
+    loss_list = []
+    start_epoch = 0
+    if args.checkpoint_path:
+        restored = ckpt.load_train_ckpt(args.checkpoint_path, state.params,
+                                        state.opt_state)
+        state = TrainState(restored["params"], restored["opt_state"],
+                           jnp.asarray(restored["step"]))
+        loss_list = list(restored["loss_history"])
+        start_epoch = int(os.path.basename(
+            args.checkpoint_path).split("_")[-1]) + 1
+        print(f"Resumed from {args.checkpoint_path} at epoch {start_epoch}")
+
+    key = root_key(args.general_seed)
+    logger = JsonlLogger(os.path.join(args.save_path, "train_log.jsonl"))
+    timer = StepTimer()
+    for epoch in range(start_epoch, args.epochs):
+        for i, batch in enumerate(batcher.epoch(epoch)):
+            state, loss = step_fn(state, vae_params,
+                                  step_key(key, int(state.step)),
+                                  jnp.asarray(batch.x),
+                                  jnp.asarray(batch.embedding))
+            loss_list.append(float(loss))
+            timer.tick()
+            if i % 100 == 0:
+                print(f"[Epoch {epoch}] [batch {i}] loss: {float(loss)}")
+        logger.log(epoch=epoch, loss=loss_list[-1],
+                   steps_per_sec=timer.steps_per_sec)
+        if epoch % args.save_every == 0 or epoch == args.epochs - 1:
+            print(f"Saving model {epoch} to {args.save_path}...")
+            ckpt.save_train_ckpt(args.save_path, epoch, state.params,
+                                 state.opt_state, loss_list)
+    return state
+
+
+def main(argv=None):
+    args = get_args(argv)
+    stime = time.time()
+    train(args)
+    print(time.time() - stime)
+
+
+if __name__ == "__main__":
+    main()

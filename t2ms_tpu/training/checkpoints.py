@@ -48,12 +48,23 @@ def save_train_ckpt(directory: str, step: int, params, opt_state,
 
 
 def load_train_ckpt(path: str, params_like, opt_state_like) -> Dict[str, Any]:
-    target = {
-        "params": params_like,
-        "opt_state": opt_state_like,
-        "step": np.asarray(0),
-    }
-    restored = _ckptr().restore(os.path.abspath(path), target)
+    if opt_state_like is None:
+        # params-only restore (inference path): ignore the stored opt_state
+        handler = ocp.PyTreeCheckpointer()
+        restored = handler.restore(
+            os.path.abspath(path),
+            args=ocp.args.PyTreeRestore(
+                item={"params": params_like, "step": np.asarray(0)},
+                partial_restore=True))
+        restored = dict(restored)
+        restored["opt_state"] = None
+    else:
+        target = {
+            "params": params_like,
+            "opt_state": opt_state_like,
+            "step": np.asarray(0),
+        }
+        restored = _ckptr().restore(os.path.abspath(path), target)
     hist_path = os.path.join(os.path.abspath(path), "loss_history.npy")
     restored["loss_history"] = (np.load(hist_path).tolist()
                                 if os.path.exists(hist_path) else [])
