@@ -37,7 +37,7 @@ class AdaLNBlock(nn.Module):
     def forward(self, x, c):
         B, N, D = x.shape
         sh_a, sc_a, g_a, sh_m, sc_m, g_m = self.mod(F.silu(c)).chunk(6, -1)
-        h = F.layer_norm(x, (D,)) * (1 + sc_a[:, None]) + sh_a[:, None]
+        h = F.layer_norm(x, (D,), eps=1e-6) * (1 + sc_a[:, None]) + sh_a[:, None]
         qkv = self.qkv(h).view(B, N, 3, self.heads, D // self.heads)
         q, k, v = qkv.unbind(2)
         a = F.scaled_dot_product_attention(q.transpose(1, 2),
@@ -45,7 +45,7 @@ class AdaLNBlock(nn.Module):
                                            v.transpose(1, 2))
         x = x + g_a[:, None] * self.proj(
             a.transpose(1, 2).reshape(B, N, D))
-        h = F.layer_norm(x, (D,)) * (1 + sc_m[:, None]) + sh_m[:, None]
+        h = F.layer_norm(x, (D,), eps=1e-6) * (1 + sc_m[:, None]) + sh_m[:, None]
         x = x + g_m[:, None] * self.fc2(F.gelu(self.fc1(h), approximate="tanh"))
         return x
 
@@ -58,6 +58,7 @@ class TorchDiT(nn.Module):
         self.patch = nn.Linear(4, 4)
         self.embed = nn.Linear(4, d)
         self.blocks = nn.ModuleList(AdaLNBlock(d) for _ in range(depth))
+        self.ln = nn.LayerNorm(d)       # affine, like reference transformer.py:141
         self.out = nn.Linear(d, 4)
         pos = torch.arange(self.pc).unsqueeze(1)
         div = torch.exp(torch.arange(0, d, 2) * -(math.log(1e4) / d))
@@ -83,7 +84,7 @@ class TorchDiT(nn.Module):
             c = c + emb
         for blk in self.blocks:
             h = blk(h, c)
-        h = self.out(F.layer_norm(h, (self.d,)))
+        h = self.out(self.ln(h))
         img = h.view(B, H // 2, W // 2, 2, 2).permute(0, 1, 3, 2, 4)
         return img.reshape(B, H, W).transpose(1, 2)
 

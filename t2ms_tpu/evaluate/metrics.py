@@ -20,7 +20,8 @@ __all__ = ["calculate_mse", "calculate_wape", "calculate_crps",
            "calculate_mrr", "calculate_ed", "mrr_at_10", "wape",
            "calculate_correlational_score", "sequence_correlation",
            "calculate_sequence_correlation", "normalize_per_row",
-           "min_max_normalize_columns", "zscore_normalize_columns"]
+           "min_max_normalize_columns", "zscore_normalize_columns",
+           "MinMaxScaler"]
 
 
 def calculate_mse(ori_data: np.ndarray, gen_data: np.ndarray) -> float:
@@ -165,6 +166,28 @@ def normalize_per_row(x: np.ndarray) -> np.ndarray:
     mn = x.min(axis=1, keepdims=True)
     mx = x.max(axis=1, keepdims=True)
     return (x - mn) / (mx - mn + 1e-8)
+
+
+class MinMaxScaler:
+    """Columnwise min-max scaler with the reference's 1e-7 denominator
+    guard (evaluate/utils.py:46-76): fit stores per-column min/range;
+    transform maps to ~[0,1]; inverse_transform undoes it in place."""
+
+    def fit(self, data):
+        self.mini = np.min(data, 0)
+        self.range = np.max(data, 0) - self.mini
+        return self
+
+    def transform(self, data):
+        return (data - self.mini) / (self.range + 1e-7)
+
+    def fit_transform(self, data):
+        return self.fit(data).transform(data)
+
+    def inverse_transform(self, data):
+        data = data * self.range
+        data = data + self.mini
+        return data
 
 
 def min_max_normalize_columns(data: np.ndarray) -> np.ndarray:

@@ -54,12 +54,18 @@ def make_denoiser_train_step(
     total_step: int = 100,
     cfg_drop_prob: float = 0.3,
     donate: bool = True,
+    nan_guard: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
     Returned signature: step_fn(state, vae_params, key, x, text_emb)
     -> (state, loss). One compiled program per distinct x shape (bucket).
+    ``nan_guard`` (or T2MS_NAN_CHECK=1) skips the parameter update and
+    prints a device-side warning when the loss goes non-finite —
+    the rebuild's sanitizer hook (SURVEY.md §5 'race detection/sanitizers').
     """
+    import os as _os
+    nan_guard = nan_guard or bool(_os.environ.get("T2MS_NAN_CHECK"))
     sched = (ddpm_lib.make_schedule(total_step)
              if backbone == "ddpm" else None)
     if backbone not in ("flowmatching", "ddpm"):
@@ -89,6 +95,15 @@ def make_denoiser_train_step(
     def step_fn(state: TrainState, vae_params, key, x, text_emb):
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params, vae_params, key, x, text_emb)
+        if nan_guard:
+            ok = jnp.isfinite(loss)
+            jax.lax.cond(
+                ok, lambda: None,
+                lambda: jax.debug.print(
+                    "t2ms_tpu nan_guard: non-finite loss at step {s}; "
+                    "skipping update", s=state.step))
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
