@@ -12,7 +12,22 @@ import hashlib
 
 import jax
 
-__all__ = ["root_key", "step_key", "named_fold"]
+__all__ = ["root_key", "step_key", "named_fold", "seed_everything"]
+
+
+def seed_everything(seed: int) -> "jax.Array":
+    """Host-side global seeding + JAX root key (reference utils.py:26-36
+    seeds random/numpy/torch; here the host RNGs that the data pipeline may
+    touch, returning the explicit JAX key that replaces torch's global
+    stream)."""
+    import random
+
+    import numpy as np
+    if seed is not None:
+        print(f"Global seed set to {seed}")
+        random.seed(seed)
+        np.random.seed(seed)
+    return root_key(seed)
 
 
 def root_key(seed: int) -> jax.Array:
