@@ -44,7 +44,11 @@ def main():
     total_step = 100
     out_len = 96
 
-    dit = DiT(latent_len=30, latent_dim=64)
+    # bf16 activations are the TPU-native serving config (+46% vs f32;
+    # outputs correlate >0.999 with f32 — tests/test_tp_and_bf16.py).
+    # einsum attention wins below ~1k tokens; flash takes over for
+    # long-series shapes via the dispatcher.
+    dit = DiT(latent_len=30, latent_dim=64, compute_dtype=jnp.bfloat16)
     vae = LAVAE(in_channels=1, latent_grid=30)
 
     x = jax.random.normal(jax.random.key(0), (B, out_len))

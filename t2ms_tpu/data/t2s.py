@@ -24,10 +24,45 @@ from typing import List, Optional, Sequence
 import numpy as np
 import pandas as pd
 
-__all__ = ["T2SData", "load_t2s_csv", "split_indices"]
+__all__ = ["T2SData", "load_t2s_csv", "split_indices", "parse_literal_rows"]
 
 _MMD_NAMES = {"Agriculture", "Climate", "Energy", "Health", "Security",
               "Traffic", "Economy", "Environment", "SocialGood", "SUSHI"}
+
+
+def parse_literal_rows(rows, row_len: Optional[int] = None) -> np.ndarray:
+    """Parse a column of bracketed float-list literals into (N, L) float64.
+
+    Uses the native C++ parser (native/parse.cpp) — the reference's
+    per-row ``ast.literal_eval`` (dataset.py:76) is the load-time hot path
+    on 600K-row corpora. Falls back to ast parsing when the native library
+    is unavailable. Handles both comma- and space-separated literals."""
+    rows = list(rows)
+
+    def _py_parse(r):
+        if not isinstance(r, str):
+            return list(r)
+        try:
+            return list(ast.literal_eval(r))
+        except (ValueError, SyntaxError):
+            return [float(v) for v in
+                    r.replace("[", "").replace("]", "").strip().split()]
+
+    if row_len is None:
+        row_len = len(_py_parse(rows[0]))
+    from t2ms_tpu.utils.native import load_native
+    lib = load_native()
+    if lib is not None and all(isinstance(r, str) for r in rows):
+        import ctypes
+        buf = "\n".join(rows).encode()
+        out = np.empty((len(rows), row_len), np.float64)
+        got = lib.t2ms_parse_float_lists(
+            buf, len(rows), row_len,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        if got == len(rows):
+            return out
+        # fall through to python parsing on shape mismatch
+    return np.asarray([_py_parse(r) for r in rows], dtype=np.float64)
 
 
 def split_indices(size: int, ratio: float, seed: int = 123):
@@ -56,14 +91,10 @@ class T2SData:
 
 
 def _parse_embedding_column(col: pd.Series, name: str) -> np.ndarray:
-    parts = set(name.split("_"))
-    if parts & _MMD_NAMES:
-        rows = col.apply(lambda s: np.array(ast.literal_eval(s)))
-    else:
-        rows = col.apply(
-            lambda s: [float(num) for num in
-                       s.replace("[", "").replace("]", "").strip().split()])
-    return np.asarray(rows.tolist(), dtype=np.float32)
+    # Both embedding formats (comma literals for MMD/SUSHI families,
+    # space-separated dumps otherwise — dataset.py:84-94) parse through the
+    # same native float scanner.
+    return parse_literal_rows(col.tolist(), row_len=None).astype(np.float32)
 
 
 def load_t2s_csv(name: str, data_root: str, period: str = "train",
@@ -73,9 +104,7 @@ def load_t2s_csv(name: str, data_root: str, period: str = "train",
         raise ValueError("period must be train or test")
     df = pd.read_csv(os.path.join(data_root, name + ".csv"))
     texts = df["Text"].tolist()
-    parsed = [ast.literal_eval(item) if isinstance(item, str) else item
-              for item in df["OT"]]
-    series = np.asarray(parsed, dtype=np.float64)
+    series = parse_literal_rows(df["OT"].tolist())
     if "TSL" not in name.split("_"):
         # MinMaxScaler fit/transform over columns (dataset.py:81-82)
         mn = series.min(axis=0)

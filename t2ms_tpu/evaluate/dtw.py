@@ -19,49 +19,16 @@ dtaidistance's definition.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from t2ms_tpu.utils.native import load_native as _load_native
+
 __all__ = ["calculate_dtw", "dtw_native", "dtw_numpy", "dtw_jax",
            "dtw_jax_batch"]
-
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native")
-_LIB: Optional[ctypes.CDLL] = None
-
-
-def _load_native() -> Optional[ctypes.CDLL]:
-    global _LIB
-    if _LIB is not None:
-        return _LIB
-    so = os.path.join(_NATIVE_DIR, "libt2ms_native.so")
-    if not os.path.exists(so):
-        src = os.path.join(_NATIVE_DIR, "dtw.cpp")
-        if not os.path.exists(src):
-            return None
-        try:
-            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
-                           check=True, capture_output=True)
-        except (subprocess.CalledProcessError, FileNotFoundError):
-            return None
-    lib = ctypes.CDLL(so)
-    lib.t2ms_dtw_ndim.restype = ctypes.c_double
-    lib.t2ms_dtw_ndim.argtypes = [
-        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
-        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
-        ctypes.c_int, ctypes.c_int]
-    lib.t2ms_dtw_batch.restype = None
-    lib.t2ms_dtw_batch.argtypes = [
-        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.POINTER(ctypes.c_double)]
-    _LIB = lib
-    return lib
 
 
 def dtw_numpy(a: np.ndarray, b: np.ndarray) -> float:

@@ -41,12 +41,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int,
     n_kv = k_ref.shape[1]
     num_blocks = n_kv // block_k
 
-    def body(carry, blk):
+    def body(blk, carry):
         acc, row_max, row_sum = carry
-        k = jax.lax.dynamic_slice_in_dim(k_ref[0], blk * block_k, block_k,
-                                         axis=0).astype(jnp.float32)
-        v = jax.lax.dynamic_slice_in_dim(v_ref[0], blk * block_k, block_k,
-                                         axis=0).astype(jnp.float32)
+        idx = pl.ds(blk * block_k, block_k)
+        k = k_ref[0, idx, :].astype(jnp.float32)
+        v = v_ref[0, idx, :].astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
         blk_max = jnp.max(s, axis=-1)
         new_max = jnp.maximum(row_max, blk_max)
@@ -55,20 +54,29 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int,
         acc = acc * correction[:, None] + jnp.dot(
             p, v, preferred_element_type=jnp.float32)
         row_sum = row_sum * correction + jnp.sum(p, axis=-1)
-        return (acc, new_max, row_sum), None
+        return (acc, new_max, row_sum)
 
     block_q, d = q.shape
     init = (jnp.zeros((block_q, d), jnp.float32),
             jnp.full((block_q,), -jnp.inf, jnp.float32),
             jnp.zeros((block_q,), jnp.float32))
-    (acc, _, row_sum), _ = jax.lax.scan(body, init,
-                                        jnp.arange(num_blocks))
+    acc, _, row_sum = jax.lax.fori_loop(0, num_blocks, body, init)
     o_ref[0] = (acc / row_sum[:, None]).astype(o_ref.dtype)
 
 
+def _auto_block(n: int, cap: int = 256) -> int:
+    """Largest divisor of n that is <= cap and a multiple of 8."""
+    best = 0
+    for b in range(8, cap + 1, 8):
+        if n % b == 0:
+            best = b
+    return best
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    scale: Optional[float] = None, block_q: int = 256,
-                    block_k: int = 256,
+                    scale: Optional[float] = None,
+                    block_q: Optional[int] = None,
+                    block_k: Optional[int] = None,
                     interpret: bool = False) -> jnp.ndarray:
     """Pallas online-softmax attention, (B, H, N, D) -> same.
 
@@ -79,7 +87,12 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if scale is None:
         scale = q.shape[-1] ** -0.5
     B, H, N, D = q.shape
-    if N % block_k != 0 or N % block_q != 0:
+    if block_q is None:
+        block_q = _auto_block(N)
+    if block_k is None:
+        block_k = _auto_block(N)
+    if (not block_q or not block_k or N % block_k != 0
+            or N % block_q != 0):
         # fall back: correctness first for awkward shapes
         return einsum_attention(q, k, v, scale)
     bh = B * H
@@ -112,6 +125,6 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return flash_attention(q, k, v)
     n = q.shape[2]
     on_tpu = jax.default_backend() not in ("cpu",)
-    if on_tpu and n >= flash_threshold and n % 256 == 0:
+    if on_tpu and n >= flash_threshold and _auto_block(n):
         return flash_attention(q, k, v)
     return einsum_attention(q, k, v)
