@@ -1,0 +1,61 @@
+"""Host->device prefetch: overlap next-batch H2D transfer with the current
+step's compute.
+
+The reference's DataLoader is synchronous single-process
+(datafactory/dataloader.py:98,111). Here a background thread stages the
+next batch onto the device (sharded when a mesh is given) while the jitted
+step runs, hiding host parse + PCIe/tunnel latency. Depth-1 double
+buffering is enough because steps are long relative to transfer.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+import jax
+import numpy as np
+
+__all__ = ["prefetch_to_device"]
+
+_SENTINEL = object()
+
+
+def prefetch_to_device(batch_iter: Iterator, size: int = 2,
+                       mesh=None, transform: Optional[Callable] = None
+                       ) -> Iterator:
+    """Wrap a host batch iterator with a staging thread.
+
+    transform(batch) -> pytree of arrays to place (default: identity).
+    With a mesh, array leaves get their batch axis sharded over 'data'."""
+    from t2ms_tpu.parallel.mesh import shard_batch
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+
+    def _place(batch):
+        payload = transform(batch) if transform is not None else batch
+        if mesh is not None:
+            return batch, shard_batch(mesh, payload)
+        return batch, jax.tree_util.tree_map(
+            lambda a: jax.device_put(np.asarray(a))
+            if isinstance(a, (np.ndarray, jax.Array)) else a, payload)
+
+    def worker():
+        try:
+            for batch in batch_iter:
+                q.put(_place(batch))
+        except Exception as e:  # surface errors on the consumer side
+            q.put(e)
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            break
+        if isinstance(item, Exception):
+            raise item
+        yield item
