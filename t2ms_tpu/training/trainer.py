@@ -55,6 +55,7 @@ def make_denoiser_train_step(
     cfg_drop_prob: float = 0.3,
     donate: bool = True,
     nan_guard: bool = False,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -63,6 +64,10 @@ def make_denoiser_train_step(
     ``nan_guard`` (or T2MS_NAN_CHECK=1) skips the parameter update and
     prints a device-side warning when the loss goes non-finite —
     the rebuild's sanitizer hook (SURVEY.md §5 'race detection/sanitizers').
+    ``accum_steps`` > 1 splits the batch into microbatches scanned with
+    gradient accumulation — required for the reference's T2S default batch
+    9216, whose attention score tensor alone (9216x4x480x480) exceeds one
+    chip's HBM.
     """
     import os as _os
     nan_guard = nan_guard or bool(_os.environ.get("T2MS_NAN_CHECK"))
@@ -93,8 +98,31 @@ def make_denoiser_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step_fn(state: TrainState, vae_params, key, x, text_emb):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, vae_params, key, x, text_emb)
+        if accum_steps > 1:
+            B = x.shape[0]
+            if B % accum_steps != 0:
+                raise ValueError(f"batch {B} % accum_steps {accum_steps}")
+            mb = B // accum_steps
+            xs = x.reshape(accum_steps, mb, *x.shape[1:])
+            es = text_emb.reshape(accum_steps, mb, *text_emb.shape[1:])
+
+            def micro(carry, inp):
+                loss_acc, grad_acc, i = carry
+                xm, em = inp
+                l, g = jax.value_and_grad(loss_fn)(
+                    state.params, vae_params, jax.random.fold_in(key, i),
+                    xm, em)
+                grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, g)
+                return (loss_acc + l, grad_acc, i + 1), None
+
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (loss, grads, _), _ = jax.lax.scan(
+                micro, (jnp.zeros(()), zero_g, 0), (xs, es))
+            loss = loss / accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, vae_params, key, x, text_emb)
         if nan_guard:
             ok = jnp.isfinite(loss)
             jax.lax.cond(
