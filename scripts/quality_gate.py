@@ -1,0 +1,133 @@
+"""Quality gate: end-to-end VAE pretrain -> denoiser train -> CFG sample ->
+metric suite on a synthetic sine-family corpus.
+
+Checks the full stack *learns*: conditional samples must beat unconditional
+noise on MSE/DTW and land near the data manifold on the feature-based
+measures. Prints a JSON summary; exits nonzero if gates fail.
+
+Usage: python scripts/quality_gate.py [--steps 1500] [--eval_cfid]
+"""
+
+import argparse
+import os
+import sys as _sys
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--vae_steps", type=int, default=800)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--eval_cfid", action="store_true")
+    args = ap.parse_args()
+
+    from t2ms_tpu.models.denoisers import DiT
+    from t2ms_tpu.models.vae import LAVAE
+    from t2ms_tpu.sampling import make_cfg_sampler
+    from t2ms_tpu.training.trainer import (TrainState,
+                                           make_denoiser_train_step,
+                                           make_vae_train_step)
+    from t2ms_tpu.training.optim import onecycle_adamw, warmup_cosine_adamw
+    from t2ms_tpu.evaluate import (calculate_acd, calculate_dtw,
+                                   calculate_kd, calculate_mse,
+                                   calculate_sd, calculate_wape)
+
+    # synthetic corpus: 8 frequency classes, text embedding = class one-hot
+    T, n_classes, B = 96, 8, args.batch
+    rng = np.random.default_rng(0)
+    tt = np.linspace(0, 1, T)
+
+    def make_batch(key_i, n):
+        cls = rng.integers(0, n_classes, n)
+        freqs = 1.0 + cls * 0.5
+        # phase fixed per class so the text condition fully determines the
+        # series (pointwise MSE is then a meaningful gate)
+        phase = (cls * 0.7)[:, None]
+        x = np.sin(2 * np.pi * freqs[:, None] * tt[None] + phase)
+        x = (x + 1) / 2 + 0.02 * rng.standard_normal((n, T))
+        emb = np.zeros((n, 128), np.float32)
+        emb[np.arange(n), cls] = 1.0
+        return x.astype(np.float32), emb, cls
+
+    vae = LAVAE(in_channels=1, latent_grid=30)
+    dit = DiT(latent_len=30, latent_dim=64, compute_dtype=jnp.bfloat16)
+
+    # --- VAE pretrain ---
+    x0, e0, _ = make_batch(0, B)
+    vp = vae.init(jax.random.key(0), jnp.asarray(x0))
+    opt_v = warmup_cosine_adamw(1e-3, warmup_steps=100, cosine_period=600)
+    sv = TrainState(vp, opt_v.init(vp), jnp.zeros((), jnp.int32))
+    vstep = make_vae_train_step(vae, opt_v)
+    for i in range(args.vae_steps):
+        x, _, _ = make_batch(i, B)
+        sv, (vloss, recon_err) = vstep(sv, jnp.asarray(x))
+    vp = sv.params
+    print(f"VAE recon error after {args.vae_steps} steps: "
+          f"{float(recon_err):.5f}", file=sys.stderr)
+
+    # --- denoiser train ---
+    z, _ = vae.apply(vp, jnp.asarray(x0), method=vae.encode)
+    dp = dit.init(jax.random.key(1), z, jnp.zeros(B), jnp.asarray(e0))
+    opt_d = onecycle_adamw(args.steps)
+    sd = TrainState(dp, opt_d.init(dp), jnp.zeros((), jnp.int32))
+    dstep = make_denoiser_train_step(dit, vae, opt_d, "flowmatching", 100)
+    for i in range(args.steps):
+        x, e, _ = make_batch(1000 + i, B)
+        sd, dloss = dstep(sd, vp, jax.random.key(i), jnp.asarray(x),
+                          jnp.asarray(e))
+        if i % 300 == 0:
+            print(f"denoiser step {i}: loss {float(dloss):.4f}",
+                  file=sys.stderr)
+
+    # --- sample + evaluate ---
+    n_eval = 128
+    x_gt, e_gt, cls = make_batch(99999, n_eval)
+    sampler = make_cfg_sampler(dit, vae, "flowmatching", 100, 3.0, T)
+    out = sampler(sd.params, vp, jax.random.key(42), jnp.asarray(x_gt),
+                  jnp.asarray(e_gt))
+    gen = np.asarray(out.series)
+
+    ntd_gt = x_gt[:, :, None]
+    ntd_gen = gen[:, :, None]
+    res = {
+        "vae_recon_error": float(recon_err),
+        "final_train_loss": float(dloss),
+        "MSE": calculate_mse(ntd_gt, ntd_gen),
+        "WAPE": calculate_wape(ntd_gt, ntd_gen),
+        "DTW": calculate_dtw(ntd_gt, ntd_gen),
+        "ACD": calculate_acd(ntd_gt, ntd_gen),
+        "SD": calculate_sd(ntd_gt, ntd_gen),
+        "KD": calculate_kd(ntd_gt, ntd_gen),
+    }
+    # noise floor: what a random sampler would score
+    noise = rng.uniform(0, 1, ntd_gen.shape)
+    res["MSE_noise_floor"] = calculate_mse(ntd_gt, noise)
+    if args.eval_cfid:
+        from t2ms_tpu.evaluate import calculate_fid, initialize_ts2vec
+        m = initialize_ts2vec(ntd_gt.astype(np.float32), None)
+        r1 = m.encode(ntd_gt.astype(np.float32),
+                      encoding_window="full_series")
+        r2 = m.encode(ntd_gen.astype(np.float32),
+                      encoding_window="full_series")
+        res["C-FID"] = calculate_fid(r1, r2)
+
+    gates = {
+        "mse_beats_noise": res["MSE"] < 0.5 * res["MSE_noise_floor"],
+        "finite": all(np.isfinite(v) for v in res.values()),
+        "distribution_close": abs(res["SD"]) < 1.0 and abs(res["KD"]) < 3.0,
+    }
+    res["gates"] = gates
+    print(json.dumps(res, indent=2))
+    sys.exit(0 if all(gates.values()) else 1)
+
+
+if __name__ == "__main__":
+    main()
