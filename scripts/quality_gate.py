@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--vae_steps", type=int, default=800)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--eval_cfid", action="store_true")
+    ap.add_argument("--backbone", default="flowmatching",
+                    choices=["flowmatching", "ddpm"])
+    ap.add_argument("--denoiser", default="DiT", choices=["DiT", "MLP"])
+    ap.add_argument("--cfg_scale", type=float, default=3.0)
     args = ap.parse_args()
 
     from t2ms_tpu.models.denoisers import DiT
@@ -58,7 +62,12 @@ def main():
         return x.astype(np.float32), emb, cls
 
     vae = LAVAE(in_channels=1, latent_grid=30)
-    dit = DiT(latent_len=30, latent_dim=64, compute_dtype=jnp.bfloat16)
+    if args.denoiser == "DiT":
+        dit = DiT(latent_len=30, latent_dim=64, compute_dtype=jnp.bfloat16)
+    else:
+        from t2ms_tpu.models.denoisers import MLPDenoiser
+        dit = MLPDenoiser(feat_dim=64, latent_len=30,
+                          compute_dtype=jnp.bfloat16)
 
     # --- VAE pretrain ---
     x0, e0, _ = make_batch(0, B)
@@ -78,7 +87,7 @@ def main():
     dp = dit.init(jax.random.key(1), z, jnp.zeros(B), jnp.asarray(e0))
     opt_d = onecycle_adamw(args.steps)
     sd = TrainState(dp, opt_d.init(dp), jnp.zeros((), jnp.int32))
-    dstep = make_denoiser_train_step(dit, vae, opt_d, "flowmatching", 100)
+    dstep = make_denoiser_train_step(dit, vae, opt_d, args.backbone, 100)
     for i in range(args.steps):
         x, e, _ = make_batch(1000 + i, B)
         sd, dloss = dstep(sd, vp, jax.random.key(i), jnp.asarray(x),
@@ -90,7 +99,8 @@ def main():
     # --- sample + evaluate ---
     n_eval = 128
     x_gt, e_gt, cls = make_batch(99999, n_eval)
-    sampler = make_cfg_sampler(dit, vae, "flowmatching", 100, 3.0, T)
+    sampler = make_cfg_sampler(dit, vae, args.backbone, 100,
+                               args.cfg_scale, T)
     out = sampler(sd.params, vp, jax.random.key(42), jnp.asarray(x_gt),
                   jnp.asarray(e_gt))
     gen = np.asarray(out.series)

@@ -123,7 +123,8 @@ def train(args):
 
 def main(argv=None):
     args = get_args(argv)
-    from t2ms_tpu.utils.prng import root_key as _seed  # seed_everything equiv
+    from t2ms_tpu.utils.prng import seed_everything
+    seed_everything(args.general_seed)
     train(args)
     print("Training complete.")
 
