@@ -20,28 +20,51 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 __all__ = ["save_train_ckpt", "load_train_ckpt", "save_params",
-           "load_params", "latest_step"]
+           "load_params", "latest_step", "wait_for_saves"]
+
+
+def wait_for_saves() -> None:
+    """Block until all asynchronous checkpoint saves have committed."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+_ASYNC_CKPTR = None
 
 
 def _ckptr():
     return ocp.StandardCheckpointer()
 
 
+def _async_ckptr():
+    """Shared async checkpointer (SURVEY.md §5: 'Orbax async
+    checkpointing') — saves overlap with subsequent train steps."""
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.StandardCheckpointer()
+    return _ASYNC_CKPTR
+
+
 def save_train_ckpt(directory: str, step: int, params, opt_state,
-                    loss_history=None) -> str:
+                    loss_history=None, asynchronous: bool = False) -> str:
     """Save {params, opt_state, step, loss_history} at directory/model_{step}
-    (reference filename scheme 'model_{epoch}.pth')."""
+    (reference filename scheme 'model_{epoch}.pth'). With
+    ``asynchronous=True`` the device-to-host copy is issued and the write
+    completes in the background (call ``wait_for_saves()`` before exit)."""
     path = os.path.abspath(os.path.join(directory, f"model_{step}"))
     payload = {
         "params": params,
         "opt_state": opt_state,
         "step": np.asarray(step),
     }
-    ckptr = _ckptr()
+    ckptr = _async_ckptr() if asynchronous else _ckptr()
     ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
-    # variable-length host artifact lives beside the Orbax tree
-    np.save(os.path.join(path, "loss_history.npy"),
+    if not asynchronous:
+        ckptr.wait_until_finished()
+    # variable-length host artifact lives NEXT TO the Orbax tree (orbax
+    # finalizes the directory atomically, so nothing foreign may live in it
+    # during an async save)
+    np.save(path + ".loss_history.npy",
             np.asarray(loss_history if loss_history is not None else [],
                        dtype=np.float32))
     return path
@@ -65,9 +88,14 @@ def load_train_ckpt(path: str, params_like, opt_state_like) -> Dict[str, Any]:
             "step": np.asarray(0),
         }
         restored = _ckptr().restore(os.path.abspath(path), target)
-    hist_path = os.path.join(os.path.abspath(path), "loss_history.npy")
-    restored["loss_history"] = (np.load(hist_path).tolist()
-                                if os.path.exists(hist_path) else [])
+    hist_path = os.path.abspath(path) + ".loss_history.npy"
+    legacy = os.path.join(os.path.abspath(path), "loss_history.npy")
+    if os.path.exists(hist_path):
+        restored["loss_history"] = np.load(hist_path).tolist()
+    elif os.path.exists(legacy):
+        restored["loss_history"] = np.load(legacy).tolist()
+    else:
+        restored["loss_history"] = []
     return restored
 
 

@@ -26,7 +26,7 @@ def test_train_cli_resume(tmp_path, monkeypatch):
                 "--epochs", "4", "--total_step", "10", "--save_every", "1",
                 "--checkpoint_path", os.path.join(ckpt_dir, "model_1")])
     assert os.path.isdir(os.path.join(ckpt_dir, "model_3"))
-    hist = np.load(os.path.join(ckpt_dir, "model_3", "loss_history.npy"))
+    hist = np.load(os.path.join(ckpt_dir, "model_3.loss_history.npy"))
     # 2 epochs x 12 batches then 2 more epochs
     assert len(hist) > 24
     assert np.isfinite(hist).all()

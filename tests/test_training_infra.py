@@ -65,3 +65,17 @@ def test_params_only_roundtrip(tmp_path):
     path = ckpt.save_params(str(tmp_path), params)
     back = ckpt.load_params(path, params)
     np.testing.assert_array_equal(np.asarray(back["k"]), np.ones((4, 4)))
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    params = {"w": jnp.ones((3, 3)) * 2}
+    opt = optax.adamw(1e-3)
+    state = opt.init(params)
+    d = str(tmp_path / "async")
+    path = ckpt.save_train_ckpt(d, 7, params, state, [1.0],
+                                asynchronous=True)
+    ckpt.wait_for_saves()
+    restored = ckpt.load_train_ckpt(path, params, state)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.asarray(params["w"]))
+    assert int(restored["step"]) == 7

@@ -103,3 +103,18 @@ def test_encode_requires_fit():
     model = TS2Vec(input_dims=1)
     with pytest.raises(AssertionError):
         model.encode(np.zeros((2, 8, 1), np.float32))
+
+
+def test_ts2vec_save_load(tmp_path):
+    rng = np.random.default_rng(5)
+    data = rng.standard_normal((16, 16, 1)).astype(np.float32)
+    m = TS2Vec(input_dims=1, output_dims=8, hidden_dims=8, depth=2,
+               batch_size=8, seed=1)
+    m.fit(data, n_iters=4)
+    r1 = m.encode(data, encoding_window="full_series")
+    fn = str(tmp_path / "ts2vec.pkl")
+    m.save(fn)
+    m2 = TS2Vec(input_dims=1, output_dims=8, hidden_dims=8, depth=2)
+    m2.load(fn)
+    r2 = m2.encode(data, encoding_window="full_series")
+    np.testing.assert_allclose(r1, r2, rtol=1e-5)
