@@ -122,6 +122,42 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(B, H, N, D)
 
 
+def _vmem_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """Whole-row attention with VMEM-resident scores: for short/medium N
+    the (N, N) score matrix fits on-chip, so softmax never touches HBM."""
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    o_ref[0] = jnp.dot(p.astype(v_ref.dtype), v_ref[0],
+                       preferred_element_type=jnp.float32
+                       ).astype(o_ref.dtype)
+
+
+def vmem_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   scale: Optional[float] = None,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Pallas attention keeping the score matrix entirely in VMEM —
+    removes the HBM score traffic that bounds the eager path. Valid while
+    (N^2 + 3ND) floats fit in VMEM (N up to ~1.5k)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    B, H, N, D = q.shape
+    bh = B * H
+    qf = q.reshape(bh, N, D)
+    kf = k.reshape(bh, N, D)
+    vf = v.reshape(bh, N, D)
+    out = pl.pallas_call(
+        functools.partial(_vmem_attn_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, N, D), q.dtype),
+        grid=(bh,),
+        in_specs=[pl.BlockSpec((1, N, D), lambda b: (b, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((1, N, D), lambda b: (b, 0, 0)),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(B, H, N, D)
+
+
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               impl: str = "auto", flash_threshold: int = 1024
               ) -> jnp.ndarray:

@@ -91,3 +91,12 @@ def test_dit_with_flash_impl_matches_einsum():
         A.flash_attention = orig
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e),
                                rtol=5e-4, atol=5e-5)
+
+
+def test_vmem_attention_matches_einsum_interpret():
+    from t2ms_tpu.ops.attention import vmem_attention
+    q, k, v = _qkv(N=64, D=32)
+    want = einsum_attention(q, k, v)
+    got = vmem_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
