@@ -50,10 +50,10 @@ def test_t2s_train_infer_evaluate(t2s_env, monkeypatch):
     x_t = np.load(os.path.join(gen_dir, "x_t.npy"))
     assert x_t.shape[1:] == (24, 1) and np.isfinite(x_t).all()
 
-    # --- evaluation ---
+    # --- evaluation (C-FID trains TS2Vec on the eval data, ~1 min) ---
     evaluation.main(["--dataset_name", "ETTh1_24", "--cfg_scale", "7.0",
                      "--total_step", "10",
-                     "--method_list", "MSE,WAPE,MRR,CRPS"])
+                     "--method_list", "MSE,WAPE,MRR,CRPS,C-FID"])
     eval_dir = ("results/denoiser_results/evaluation/"
                 "flowmatching_DiT_ETTh1_24_7.0_10")
     files = os.listdir(eval_dir)
@@ -62,6 +62,7 @@ def test_t2s_train_infer_evaluate(t2s_env, monkeypatch):
     with open(os.path.join(eval_dir, single)) as f:
         res = json.load(f)
     assert "MSE" in res and np.isfinite(res["MSE"])
+    assert "C-FID" in res and np.isfinite(res["C-FID"])
 
 
 def test_t2s_pretrain_vae_cli(t2s_env, monkeypatch):
