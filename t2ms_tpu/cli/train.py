@@ -97,6 +97,18 @@ def train(args):
     key = root_key(args.general_seed)
     logger = JsonlLogger(os.path.join(args.save_path, "train_log.jsonl"))
     timer = StepTimer()
+    from t2ms_tpu.config import FrameworkConfig
+    from t2ms_tpu.utils.logging import profile_trace
+    fw = FrameworkConfig.from_env()
+    with profile_trace(fw.profile_dir):
+        state = _run_epochs(args, batcher, step_fn, state, vae_params, key,
+                            logger, timer, loss_list, start_epoch)
+    return state
+
+
+def _run_epochs(args, batcher, step_fn, state, vae_params, key, logger,
+                timer, loss_list, start_epoch):
+    from t2ms_tpu.training import checkpoints as ckpt
     for epoch in range(start_epoch, args.epochs):
         for i, batch in enumerate(batcher.epoch(epoch)):
             state, loss = step_fn(state, vae_params,
