@@ -4,8 +4,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-import optax
 
 from t2ms_tpu.models.denoisers import DiT, MLPDenoiser
 from t2ms_tpu.models.vae import LAVAE

@@ -14,7 +14,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
-from typing import Any, Dict, List, Optional
+from typing import Dict, Optional
 
 import yaml
 

@@ -16,7 +16,7 @@ interface:
 from __future__ import annotations
 
 import hashlib
-from typing import Optional, Protocol, Sequence
+from typing import Protocol, Sequence
 
 import numpy as np
 

@@ -17,12 +17,10 @@ from __future__ import annotations
 import os
 from typing import Dict, List, Tuple
 
-import numpy as np
-
 from t2ms_tpu.data.loaders import BucketBatcher
 from t2ms_tpu.data.motion import (MotionRecord, load_motion_records,
-                                  reference_random_split, SPORT_SPECS)
-from t2ms_tpu.data.registry import DATA_DICT, MIXABLE_FAMILIES, csv_path_for
+                                  reference_random_split)
+from t2ms_tpu.data.registry import DATA_DICT, csv_path_for
 from t2ms_tpu.data.t2s import T2SData, load_t2s_csv
 
 __all__ = ["t2s_loader_provider", "motion_loader_provider"]

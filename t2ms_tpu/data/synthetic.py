@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Sequence
-
 import numpy as np
 
 __all__ = ["write_t2s_csv", "write_motion_dataset"]

@@ -19,7 +19,6 @@ dtaidistance's definition.
 from __future__ import annotations
 
 import ctypes
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

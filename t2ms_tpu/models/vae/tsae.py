@@ -17,8 +17,6 @@ TPU-native notes:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -62,10 +62,28 @@ def trend_caption(client: ChatClient, window: Sequence[float]) -> dict:
     return json.loads(cleaned)
 
 
+def plot_window_figure(window: Sequence[float], text: str,
+                       save_path: str) -> None:
+    """Window plot with the caption banner (reference
+    Unified...plot_data_to_picture :63-70)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots()
+    ax.plot(list(window))
+    fig.text(0.5, 0.05, text[:120], ha="center", va="center", fontsize=9,
+             bbox=dict(facecolor="lightblue", alpha=0.5))
+    plt.tight_layout()
+    os.makedirs(os.path.dirname(save_path), exist_ok=True)
+    plt.savefig(save_path, bbox_inches="tight")
+    plt.close(fig)
+
+
 def generate_corpus(client: ChatClient, embed_client: Optional[EmbedClient],
                     series: Sequence[float], sample_length: int,
                     out_dir: str, max_retries: int = 3,
-                    limit: Optional[int] = None) -> int:
+                    limit: Optional[int] = None,
+                    make_figures: bool = False) -> int:
     """Caption (and optionally embed) every sliding window into
     data_sample_{i}_1.json files, resuming from a progress file
     (reference :125-165)."""
@@ -91,6 +109,10 @@ def generate_corpus(client: ChatClient, embed_client: Optional[EmbedClient],
             with open(os.path.join(out_dir,
                                    f"data_sample_{i}_1.json"), "w") as f:
                 json.dump(payload, f)
+            if make_figures:
+                plot_window_figure(windows[i], payload["Text"],
+                                   os.path.join(out_dir, "picture",
+                                                f"data_sample_{i}.png"))
             with open(progress_path, "w") as f:
                 f.write(str(i + 1))
             return True

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import time
-from typing import Protocol, Sequence
+from typing import Protocol
 
 import numpy as np
 

@@ -20,8 +20,7 @@ TPU-native re-design (the headline-perf component):
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

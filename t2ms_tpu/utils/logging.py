@@ -12,7 +12,7 @@ import contextlib
 import json
 import os
 import time
-from typing import Any, Dict, Iterator, Optional
+from typing import Any, Iterator, Optional
 
 __all__ = ["plot_loss_curve", "write_json_data", "JsonlLogger",
            "show_with_start_divider", "show_with_end_divider",
