@@ -108,13 +108,16 @@ def train(args):
 
 def _run_epochs(args, batcher, step_fn, state, vae_params, key, logger,
                 timer, loss_list, start_epoch):
+    from t2ms_tpu.data.prefetch import prefetch_to_device
     from t2ms_tpu.training import checkpoints as ckpt
     for epoch in range(start_epoch, args.epochs):
-        for i, batch in enumerate(batcher.epoch(epoch)):
+        staged = prefetch_to_device(
+            batcher.epoch(epoch),
+            transform=lambda b: (np.asarray(b.x), np.asarray(b.embedding)))
+        for i, (batch, (x_dev, emb_dev)) in enumerate(staged):
             state, loss = step_fn(state, vae_params,
                                   step_key(key, int(state.step)),
-                                  jnp.asarray(batch.x),
-                                  jnp.asarray(batch.embedding))
+                                  x_dev, emb_dev)
             loss_list.append(float(loss))
             timer.tick()
             if i % 100 == 0:
