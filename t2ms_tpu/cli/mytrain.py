@@ -98,31 +98,37 @@ def train(args):
     logger = JsonlLogger(os.path.join(args.save_path, "train_log.jsonl"))
     timer = StepTimer()
     epoch_losses = []
+    from t2ms_tpu.config import FrameworkConfig
     from t2ms_tpu.data.prefetch import prefetch_to_device
-    for epoch in range(start_epoch, args.epochs):
-        group_losses = []
-        staged = prefetch_to_device(
-            train_batcher.epoch(epoch),
-            transform=lambda b: (np.asarray(b.x), np.asarray(b.embedding)))
-        for batch, (x_dev, emb_dev) in staged:
-            state, loss = step_fn(state, vae_params,
-                                  step_key(key, int(state.step)),
-                                  x_dev, emb_dev)
-            group_losses.append(float(loss))
-            timer.tick()
-        epoch_losses.append(float(np.mean(group_losses)))
-        print(f"[Epoch {epoch}] loss: {epoch_losses[-1]:.5f}")
-        logger.log(epoch=epoch, loss=epoch_losses[-1],
-                   steps_per_sec=timer.steps_per_sec)
-        if epoch % args.save_every == 0 or epoch == args.epochs - 1:
-            print(f"Saving model {epoch} to {args.save_path}...")
-            plot_loss_curve(epoch_losses, args.save_path)
-            # the reference persists a list it never appends to
-            # (mytrain.py:46,93); we persist the actual epoch losses
-            ckpt.save_train_ckpt(args.save_path, epoch, state.params,
-                                 state.opt_state, loss_list + epoch_losses)
-        if epoch == args.hard_stop_epoch:
-            break
+    from t2ms_tpu.utils.logging import profile_trace
+    fw = FrameworkConfig.from_env()
+    with profile_trace(fw.profile_dir):
+        for epoch in range(start_epoch, args.epochs):
+            group_losses = []
+            staged = prefetch_to_device(
+                train_batcher.epoch(epoch),
+                transform=lambda b: (np.asarray(b.x),
+                                     np.asarray(b.embedding)))
+            for batch, (x_dev, emb_dev) in staged:
+                state, loss = step_fn(state, vae_params,
+                                      step_key(key, int(state.step)),
+                                      x_dev, emb_dev)
+                group_losses.append(float(loss))
+                timer.tick()
+            epoch_losses.append(float(np.mean(group_losses)))
+            print(f"[Epoch {epoch}] loss: {epoch_losses[-1]:.5f}")
+            logger.log(epoch=epoch, loss=epoch_losses[-1],
+                       steps_per_sec=timer.steps_per_sec)
+            if epoch % args.save_every == 0 or epoch == args.epochs - 1:
+                print(f"Saving model {epoch} to {args.save_path}...")
+                plot_loss_curve(epoch_losses, args.save_path)
+                # the reference persists a list it never appends to
+                # (mytrain.py:46,93); we persist the actual epoch losses
+                ckpt.save_train_ckpt(args.save_path, epoch, state.params,
+                                     state.opt_state,
+                                     loss_list + epoch_losses)
+            if epoch == args.hard_stop_epoch:
+                break
     return state
 
 

@@ -3,7 +3,8 @@ from t2ms_tpu.evaluate.dtw import (calculate_dtw, dtw_jax, dtw_jax_batch,
 from t2ms_tpu.evaluate.feature_measures import (calculate_acd, calculate_kd,
                                                 calculate_mdd, calculate_sd)
 from t2ms_tpu.evaluate.fid import calculate_fid
-from t2ms_tpu.evaluate.metrics import (calculate_correlational_score,
+from t2ms_tpu.evaluate.metrics import (MinMaxScaler,
+                                       calculate_correlational_score,
                                        calculate_crps, calculate_ed,
                                        calculate_mrr, calculate_mse,
                                        calculate_sequence_correlation,
@@ -20,6 +21,6 @@ __all__ = [
     "calculate_sd", "calculate_sequence_correlation", "calculate_wape",
     "dtw_jax", "dtw_jax_batch", "dtw_native", "dtw_numpy",
     "initialize_ts2vec", "min_max_normalize_columns", "mrr_at_10",
-    "normalize_per_row", "sequence_correlation", "wape",
+    "MinMaxScaler", "normalize_per_row", "sequence_correlation", "wape",
     "zscore_normalize_columns",
 ]
