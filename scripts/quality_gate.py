@@ -31,6 +31,9 @@ def main():
                     choices=["flowmatching", "ddpm"])
     ap.add_argument("--denoiser", default="DiT", choices=["DiT", "MLP"])
     ap.add_argument("--cfg_scale", type=float, default=3.0)
+    ap.add_argument("--track", default="t2s", choices=["t2s", "motion"],
+                    help="t2s: univariate latent 30x64; motion: 10-feature "
+                         "multivariate conv VAE with flow_dim latent")
     args = ap.parse_args()
 
     from t2ms_tpu.models.denoisers import DiT
@@ -46,6 +49,7 @@ def main():
 
     # synthetic corpus: 8 frequency classes, text embedding = class one-hot
     T, n_classes, B = 96, 8, args.batch
+    n_feat = 10 if args.track == "motion" else 1
     rng = np.random.default_rng(0)
     tt = np.linspace(0, 1, T)
 
@@ -57,13 +61,26 @@ def main():
         phase = (cls * 0.7)[:, None]
         x = np.sin(2 * np.pi * freqs[:, None] * tt[None] + phase)
         x = (x + 1) / 2 + 0.02 * rng.standard_normal((n, T))
+        if args.track == "motion":
+            # 10 phase-shifted copies -> (n, 10, T), like joint-angle series
+            shifts = np.linspace(0, np.pi, n_feat)[None, :, None]
+            base = np.sin(2 * np.pi * freqs[:, None, None] * tt[None, None]
+                          + phase[:, :, None] + shifts)
+            x = ((base + 1) / 2
+                 + 0.02 * rng.standard_normal((n, n_feat, T)))
         emb = np.zeros((n, 128), np.float32)
         emb[np.arange(n), cls] = 1.0
         return x.astype(np.float32), emb, cls
 
-    vae = LAVAE(in_channels=1, latent_grid=30)
+    if args.track == "motion":
+        vae = LAVAE(in_channels=n_feat, num_residual_layers=3,
+                    latent_grid=64, exact_length_output=True)
+    else:
+        vae = LAVAE(in_channels=1, latent_grid=30)
+    latent_len = 64 if args.track == "motion" else 30
     if args.denoiser == "DiT":
-        dit = DiT(latent_len=30, latent_dim=64, compute_dtype=jnp.bfloat16)
+        dit = DiT(latent_len=latent_len, latent_dim=64,
+                  compute_dtype=jnp.bfloat16)
     else:
         from t2ms_tpu.models.denoisers import MLPDenoiser
         dit = MLPDenoiser(feat_dim=64, latent_len=30,
@@ -105,8 +122,12 @@ def main():
                   jnp.asarray(e_gt))
     gen = np.asarray(out.series)
 
-    ntd_gt = x_gt[:, :, None]
-    ntd_gen = gen[:, :, None]
+    if args.track == "motion":
+        ntd_gt = np.transpose(x_gt, (0, 2, 1))      # (N, T, D)
+        ntd_gen = np.transpose(gen, (0, 2, 1))
+    else:
+        ntd_gt = x_gt[:, :, None]
+        ntd_gen = gen[:, :, None]
     res = {
         "vae_recon_error": float(recon_err),
         "final_train_loss": float(dloss),

@@ -158,16 +158,39 @@ def vmem_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(B, H, N, D)
 
 
+@jax.custom_vjp
+def _flash_diffable(q, k, v):
+    """flash_attention with an einsum-recompute backward: the Pallas
+    kernel has no VJP, so training recomputes attention eagerly for the
+    gradient (the forward still avoids HBM score traffic — pattern per
+    the custom-VJP section of the Pallas guide)."""
+    return flash_attention(q, k, v)
+
+
+def _flash_fwd(q, k, v):
+    return flash_attention(q, k, v), (q, k, v)
+
+
+def _flash_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: einsum_attention(a, b, c), q, k, v)
+    return vjp(g)
+
+
+_flash_diffable.defvjp(_flash_fwd, _flash_bwd)
+
+
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               impl: str = "auto", flash_threshold: int = 1024
               ) -> jnp.ndarray:
-    """Dispatcher: 'einsum' | 'flash' | 'auto' (flash on TPU for long N)."""
+    """Dispatcher: 'einsum' | 'flash' | 'auto' (flash on TPU for long N;
+    differentiable everywhere via the custom-VJP wrapper)."""
     if impl == "einsum":
         return einsum_attention(q, k, v)
     if impl == "flash":
-        return flash_attention(q, k, v)
+        return _flash_diffable(q, k, v)
     n = q.shape[2]
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu and n >= flash_threshold and _auto_block(n):
-        return flash_attention(q, k, v)
+        return _flash_diffable(q, k, v)
     return einsum_attention(q, k, v)

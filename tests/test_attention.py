@@ -100,3 +100,26 @@ def test_vmem_attention_matches_einsum_interpret():
     got = vmem_attention(q, k, v, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_flash_dispatcher_is_differentiable():
+    """Training through the flash path must produce einsum-equivalent
+    gradients (custom VJP recomputes attention eagerly)."""
+    from t2ms_tpu.ops import attention as A
+    q, k, v = _qkv(N=64, D=32, B=1, H=2)
+    orig = A.flash_attention
+    A.flash_attention = lambda q, k, v, **kw: orig(q, k, v, interpret=True,
+                                                   **kw)
+    try:
+        def loss_flash(q):
+            return jnp.sum(A._flash_diffable(q, k, v) ** 2)
+
+        def loss_einsum(q):
+            return jnp.sum(einsum_attention(q, k, v) ** 2)
+
+        g_flash = jax.grad(loss_flash)(q)
+        g_einsum = jax.grad(loss_einsum)(q)
+    finally:
+        A.flash_attention = orig
+    np.testing.assert_allclose(np.asarray(g_flash), np.asarray(g_einsum),
+                               rtol=5e-4, atol=5e-5)
