@@ -79,3 +79,34 @@ def test_async_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
                                   np.asarray(params["w"]))
     assert int(restored["step"]) == 7
+
+
+def test_adamw_trajectory_matches_torch():
+    """50 optimization steps on a fixed quadratic: optax.adamw must track
+    torch.optim.AdamW parameter-for-parameter (same lr/wd/betas/eps)."""
+    rng = np.random.default_rng(0)
+    w0 = rng.standard_normal(6).astype(np.float32)
+    target = rng.standard_normal(6).astype(np.float32)
+
+    # torch
+    wt = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt_t = torch.optim.AdamW([wt], lr=1e-2, weight_decay=1e-2)
+    for _ in range(50):
+        opt_t.zero_grad()
+        loss = torch.sum((wt - torch.tensor(target)) ** 2)
+        loss.backward()
+        opt_t.step()
+
+    # optax
+    wj = jnp.asarray(w0)
+    opt_j = optax.adamw(1e-2, weight_decay=1e-2)
+    state = opt_j.init(wj)
+    import jax
+    grad_fn = jax.grad(lambda w: jnp.sum((w - jnp.asarray(target)) ** 2))
+    for _ in range(50):
+        g = grad_fn(wj)
+        updates, state = opt_j.update(g, state, wj)
+        wj = optax.apply_updates(wj, updates)
+
+    np.testing.assert_allclose(np.asarray(wj), wt.detach().numpy(),
+                               rtol=1e-4, atol=1e-5)
