@@ -16,7 +16,8 @@ TPU-native re-design decisions:
     pure MXU work, no conv lowering.
   * the CFG pair (uncond, cond) is run as ONE batched forward: text enters
     the network only additively via c (transformer.py:176-178), so
-    text=None == text=0. Callers zero the uncond rows and stack on batch.
+    text=None == text=0. Callers pass a per-sample text_mask (0 for the
+    uncond rows) and stack on batch.
   * attention is jnp.einsum-based (sequence <= ~1k tokens at reference
     scale); a Pallas flash path can be swapped in for long-series mode.
   * dtype policy: params f32, activations/matmuls in ``compute_dtype``.
@@ -160,7 +161,12 @@ class DiT(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray,
-                 text_emb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 text_emb: Optional[jnp.ndarray] = None,
+                 text_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """``text_mask`` (B,) of {0,1}: per-sample conditioning switch.
+        Text enters the DiT purely additively (transformer.py:176-178), so
+        masking the embedding is exactly the reference's text=None; the
+        argument exists so all denoisers share one fused-CFG contract."""
         B = x.shape[0]
         H, W, p = self.latent_len, self.latent_dim, self.patch_size
         if x.shape[1] != W or x.shape[2] != H:
@@ -182,7 +188,10 @@ class DiT(nn.Module):
 
         c = time_embedding(t, self.d_model).astype(dtype)
         if text_emb is not None:
-            c = c + text_emb.astype(dtype)
+            te = text_emb.astype(dtype)
+            if text_mask is not None:
+                te = te * text_mask[:, None].astype(dtype)
+            c = c + te
 
         for i in range(self.depth):
             h = DiTBlock(self.d_model, self.num_heads, self.mlp_ratio,

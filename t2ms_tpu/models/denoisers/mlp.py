@@ -67,7 +67,7 @@ class _MLPLayer(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, t, text_emb):
+    def __call__(self, x, t, text_emb, text_mask=None):
         dtype = self.compute_dtype
         # time embedding over the feature axis, broadcast over tokens
         # (mlp.py:73-75: t_emb (B, feat) -> (B, feat, 1) + input (B, feat, L))
@@ -77,9 +77,16 @@ class _MLPLayer(nn.Module):
         if text_emb is not None:
             text_tokens = jnp.repeat(text_emb[:, None, :].astype(dtype),
                                      self.latent_len, axis=1)
-            h = h + _TextCrossAttention(self.feat_dim, self.text_dim,
-                                        self.n_head, dtype,
-                                        name="cross_attn")(h, text_tokens)
+            attn = _TextCrossAttention(self.feat_dim, self.text_dim,
+                                       self.n_head, dtype,
+                                       name="cross_attn")(h, text_tokens)
+            if text_mask is not None:
+                # mask=0 zeroes the whole cross-attn RESIDUAL — exactly the
+                # reference's text_input=None skip (mlp.py:77, infer.py:79).
+                # Zeroing only the embedding would be wrong here: the k/v/
+                # proj biases would still inject a learned offset.
+                attn = attn * text_mask[:, None, None].astype(dtype)
+            h = h + attn
         h = nn.LayerNorm(dtype=dtype, name="norm")(h)
         m = nn.Dense(self.hidden, dtype=dtype, name="mlp_fc1")(h)
         m = nn.relu(m)
@@ -106,10 +113,16 @@ class MLPDenoiser(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray,
-                 text_emb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 text_emb: Optional[jnp.ndarray] = None,
+                 text_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """``text_mask`` (B,) of {0,1}: per-sample conditioning switch. 0
+        suppresses the cross-attn residual entirely — the jittable
+        equivalent of the reference's text_input=None path (mlp.py:77),
+        enabling a single fused CFG forward over the stacked cond/uncond
+        batch."""
         h = x.astype(self.compute_dtype)
         for i in range(self.depth):
             h = _MLPLayer(self.feat_dim, self.latent_len, self.text_dim,
                           self.hidden, self.n_head, self.compute_dtype,
-                          name=f"layer_{i}")(h, t, text_emb)
+                          name=f"layer_{i}")(h, t, text_emb, text_mask)
         return h.astype(x.dtype)

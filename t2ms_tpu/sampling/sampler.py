@@ -10,8 +10,9 @@ TPU-native re-design (the headline-perf component):
   * the whole denoise loop is ONE ``lax.scan`` inside ONE ``jit`` — zero
     Python dispatch per step;
   * cond and uncond are FUSED into a single forward of batch 2B by stacking
-    on the batch axis with the uncond half's text zeroed (text conditioning
-    is additive, so zeros == the reference's text=None);
+    on the batch axis, the uncond half selected by a per-sample text_mask
+    that reproduces text=None exactly for every denoiser (see
+    _fused_cfg_forward);
   * the latent trajectory is (optionally) collected by scan and decoded in
     ONE batched VAE decode afterwards — the reference decodes per step on
     host for its diffusion GIF (infer.py:90-93);
@@ -39,12 +40,20 @@ class SamplerOutput(NamedTuple):
 
 
 def _fused_cfg_forward(denoiser, params, x_t, t, text_emb, cfg_scale):
-    """One 2B-batch forward for the CFG pair."""
+    """One 2B-batch forward for the CFG pair.
+
+    The uncond half is selected with a per-sample ``text_mask`` of zeros
+    rather than a zeroed embedding: for the DiT the two are identical
+    (additive conditioning), but the MLP denoiser's cross-attention has
+    biased key/value/proj layers, so only the mask path reproduces the
+    reference's text_input=None skip (infer.py:79-88, mlp.py:77) exactly."""
     B = x_t.shape[0]
     x2 = jnp.concatenate([x_t, x_t], axis=0)
     t2 = jnp.concatenate([t, t], axis=0)
-    e2 = jnp.concatenate([jnp.zeros_like(text_emb), text_emb], axis=0)
-    pred2 = denoiser.apply(params, x2, t2, e2)
+    e2 = jnp.concatenate([text_emb, text_emb], axis=0)
+    m2 = jnp.concatenate([jnp.zeros((B,), x_t.dtype),
+                          jnp.ones((B,), x_t.dtype)], axis=0)
+    pred2 = denoiser.apply(params, x2, t2, e2, m2)
     uncond, cond = pred2[:B], pred2[B:]
     return uncond + cfg_scale * (cond - uncond)
 

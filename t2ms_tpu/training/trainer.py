@@ -10,8 +10,9 @@ TPU-native re-design:
     donated function — no Python in the hot path;
   * the VAE encoder is explicit frozen params under stop_gradient, not a
     module graft (reference train.py:30 'model.encoder = ...');
-  * CFG drop multiplies the text embedding by a single Bernoulli mask
-    (text enters additively, so mask*emb == the reference's text=None);
+  * CFG drop passes a single Bernoulli text_mask into the denoiser, which
+    suppresses conditioning exactly like the reference's text=None (for
+    the MLP denoiser this skips the biased cross-attn residual);
   * length buckets produce one compiled program each (shapes are static);
   * batch arrays are sharded over the 'data' mesh axis — XLA all-reduces
     grads over ICI; params replicated.
@@ -90,10 +91,14 @@ def make_denoiser_train_step(
                                     dtype=z.dtype)
             x_t, _ = ddpm_lib.q_sample(sched, z, t, eps)
             target = eps
-        # one Bernoulli per step, whole batch drops together (train.py:80)
+        # one Bernoulli per step, whole batch drops together (train.py:80).
+        # The drop is a text_mask, not a zeroed embedding: for the MLP
+        # denoiser only the mask path skips the biased cross-attn residual
+        # exactly like the reference's text_input=None (mlp.py:77).
         keep = (jax.random.uniform(named_fold(key, "cfg"), ())
-                >= cfg_drop_prob).astype(text_emb.dtype)
-        pred = denoiser.apply(params, x_t, t, text_emb * keep)
+                >= cfg_drop_prob).astype(x_t.dtype)
+        mask = jnp.broadcast_to(keep, (z.shape[0],))
+        pred = denoiser.apply(params, x_t, t, text_emb, mask)
         return jnp.mean(jnp.square(pred - target))
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())

@@ -66,3 +66,53 @@ def test_mlp_layer_parity():
             h = lin("mlp2_fc2", m2)
 
     np.testing.assert_allclose(ours, h.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_mlp_uncond_mask_equals_text_none():
+    """text_mask=0 must reproduce the reference's text_input=None skip of
+    cross-attention (mlp.py:77, infer.py:79) EXACTLY — zeroing the text
+    embedding would not, because key/value/proj have biases."""
+    model = MLPDenoiser(feat_dim=64, latent_len=6, depth=2)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((3, 64, 6)).astype(np.float32)
+    t = np.array([0.2, 0.4, 0.8], np.float32)
+    text = rng.standard_normal((3, 128)).astype(np.float32)
+    params = model.init(jax.random.key(1), jnp.asarray(x), jnp.asarray(t),
+                        jnp.asarray(text))
+    # a trained model has nonzero biases; fresh init is all-zero, which
+    # would mask the bug this test guards against
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [v + 0.05 if path[-1].key == "bias" else v
+         for path, v in leaves])
+    masked = np.asarray(model.apply(
+        params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(text),
+        jnp.zeros((3,), jnp.float32)))
+    none = np.asarray(model.apply(
+        params, jnp.asarray(x), jnp.asarray(t), None))
+    np.testing.assert_array_equal(masked, none)
+    # and zero-text is NOT equivalent (the biased branch still fires)
+    zero_text = np.asarray(model.apply(
+        params, jnp.asarray(x), jnp.asarray(t), jnp.zeros_like(text)))
+    assert np.abs(zero_text - none).max() > 1e-3
+
+
+def test_mlp_fused_cfg_matches_two_pass():
+    """The single 2B fused CFG forward must equal the reference's two
+    separate forwards (infer.py:79-81) for the MLP denoiser."""
+    from t2ms_tpu.sampling.sampler import _fused_cfg_forward
+
+    model = MLPDenoiser(feat_dim=64, latent_len=6, depth=2)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((4, 64, 6)).astype(np.float32))
+    t = jnp.asarray(np.full((4,), 0.3, np.float32))
+    text = jnp.asarray(rng.standard_normal((4, 128)).astype(np.float32))
+    params = model.init(jax.random.key(2), x, t, text)
+    cfg_scale = 7.0
+    fused = np.asarray(_fused_cfg_forward(model, params, x, t, text,
+                                          cfg_scale))
+    uncond = model.apply(params, x, t, None)
+    cond = model.apply(params, x, t, text)
+    two_pass = np.asarray(uncond + cfg_scale * (cond - uncond))
+    np.testing.assert_allclose(fused, two_pass, rtol=1e-5, atol=1e-5)
