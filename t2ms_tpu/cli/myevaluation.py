@@ -32,15 +32,27 @@ def _method_list(raw):
 
 def evaluate_data(args, ori_data, gen_data, index, result):
     """Per-sample metric computation over stacked runs
-    (reference :228-283). ori/gen: (runs, D, T)."""
+    (reference :228-283). ori/gen: (runs, D, T).
+
+    Layout fix vs the reference (documented deviation): the reference
+    passes (runs, D, T) stacks straight into metrics written for NTD
+    arrays and would crash on MRR/CRPS (calculate_mrr expects 4-D,
+    myevaluation.py:45-47). Here every metric sees the documented NTD
+    layout, and the ``run_time`` runs form the GENERATION axis of a
+    (1, T, D, G) stack for the multi-run metrics (MRR/CRPS) — the same
+    convention the T2S track already uses (evaluation.py:302-314), so
+    real cross-run variation drives them."""
     show_with_start_divider(f"Evalution with settings:{args}")
     methods = _method_list(args.method_list)
     if gen_data is None or ori_data.shape != gen_data.shape:
         show_with_end_divider("Error: Generated data mismatch.")
         return None
     result[index] = {}
-    ntd_ori = np.transpose(ori_data, (0, 2, 1))
+    ntd_ori = np.transpose(ori_data, (0, 2, 1))          # (G, T, D)
     ntd_gen = np.transpose(gen_data, (0, 2, 1))
+    # multi-run stack: one observed sample, runs on the last axis
+    obs = ntd_ori[:1]                                    # (1, T, D)
+    gen_runs = np.transpose(ntd_gen, (1, 2, 0))[None]    # (1, T, D, G)
     if "C-FID" in methods:
         fid_model = initialize_ts2vec(ntd_ori, args.device)
         r1 = fid_model.encode(ntd_ori.astype(np.float32),
@@ -49,25 +61,23 @@ def evaluate_data(args, ori_data, gen_data, index, result):
                               encoding_window="full_series")
         result[index]["C-FID"] = calculate_fid(r1, r2)
     if "MSE" in methods:
-        result[index]["MSE"] = calculate_mse(ori_data, gen_data)
+        result[index]["MSE"] = calculate_mse(ntd_ori, ntd_gen)
     if "WAPE" in methods:
-        result[index]["WAPE"] = calculate_wape(ori_data, gen_data)
+        result[index]["WAPE"] = calculate_wape(ntd_ori, ntd_gen)
     if "MRR" in methods:
-        result[index]["MRR"] = calculate_mrr(
-            ori_data, np.repeat(gen_data[..., None], 2, -1))
+        result[index]["MRR"] = calculate_mrr(obs, gen_runs)
     if "CRPS" in methods:
-        result[index]["CRPS"] = calculate_crps(
-            ori_data, np.repeat(gen_data[..., None], 2, -1))
+        result[index]["CRPS"] = calculate_crps(obs, gen_runs)
     if "ED" in methods:
-        result[index]["ED"] = calculate_ed(ori_data, gen_data)
+        result[index]["ED"] = calculate_ed(ntd_ori, ntd_gen)
     if "ACD" in methods:
-        result[index]["ACD"] = calculate_acd(ori_data, gen_data)
+        result[index]["ACD"] = calculate_acd(ntd_ori, ntd_gen)
     if "SD" in methods:
-        result[index]["SD"] = calculate_sd(ori_data, gen_data)
+        result[index]["SD"] = calculate_sd(ntd_ori, ntd_gen)
     if "KD" in methods:
-        result[index]["KD"] = calculate_kd(ori_data, gen_data)
+        result[index]["KD"] = calculate_kd(ntd_ori, ntd_gen)
     if "DTW" in methods:
-        result[index]["DTW"] = calculate_dtw(ori_data, gen_data)
+        result[index]["DTW"] = calculate_dtw(ntd_ori, ntd_gen)
     return result
 
 
@@ -114,9 +124,15 @@ def main(argv=None):
             x_1_list.append(x_1)
         if not x_t_list:
             continue
-        print(f"ori_data shape:{np.array(x_t_list).shape}, "
-              f"gen_data shape:{np.array(x_1_list).shape}")
-        result = evaluate_data(args, np.array(x_t_list), np.array(x_1_list),
+        print(f"ori_data shape:{np.array(x_1_list).shape}, "
+              f"gen_data shape:{np.array(x_t_list).shape}")
+        # Deviation from the reference call (myevaluation.py:331), which
+        # passes the GENERATED runs as ori_data and the repeated ground
+        # truth as gen_data — making the generation axis degenerate
+        # (identical truth copies) so MRR/CRPS are blind to cross-run
+        # variation. Here truth is the observation and the runs form the
+        # generation axis.
+        result = evaluate_data(args, np.array(x_1_list), np.array(x_t_list),
                                sample, result)
 
     if isinstance(result, dict) and result:

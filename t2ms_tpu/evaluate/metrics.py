@@ -72,16 +72,32 @@ def _pairwise_cosine(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return an @ bn.T
 
 
+def _flat_cosine(a: np.ndarray, b: np.ndarray) -> float:
+    """The reference's cosine: ravel both (T, D) sequences into flat
+    vectors, one scalar a.b/(|a||b|), nan-to-num on 0/0
+    (Dataset_Construction_Pipeline/Evaluate_Datasets.py:6-15)."""
+    a, b = a.ravel(), b.ravel()
+    den = np.linalg.norm(a) * np.linalg.norm(b)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = np.sum(a * b) / den
+    return float(np.nan_to_num(sim))
+
+
 def calculate_mrr(ori_data: np.ndarray, gen_data: np.ndarray,
                   k: int | None = None, threshold: float = 0.5) -> float:
-    """Reciprocal rank of the first above-threshold generation when sorted
-    by mean pairwise cosine similarity (myevaluation.py:42-67)."""
+    """Reciprocal rank over generations by flattened cosine similarity
+    (myevaluation.py:42-67, evaluation.py:21-45): per sample, score each
+    generation with the scalar ravel-cosine against the observation; if
+    the best score beats the threshold, the reciprocal of that
+    generation's ORIGINAL index + 1 (a reference quirk: rank is the
+    argmax's position in generation order, not its sorted rank) is the
+    sample's score, else 0."""
     N = ori_data.shape[0]
     G = gen_data.shape[3]
     k = G if k is None else k
     scores = np.zeros(N)
     for i in range(N):
-        sims = [np.mean(_pairwise_cosine(ori_data[i], gen_data[i, :, :, g]))
+        sims = [_flat_cosine(ori_data[i], gen_data[i, :, :, g])
                 for g in range(k)]
         order = np.argsort(sims)[::-1]
         rank = None
