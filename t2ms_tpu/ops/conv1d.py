@@ -12,6 +12,7 @@ equivalence), golden-tested vs torch in tests/test_conv1d.py.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -20,11 +21,21 @@ __all__ = ["Conv1d", "ConvTranspose1d"]
 _DN = ("NCH", "OIH", "NCH")
 
 
-def _he_uniform():
-    # torch Conv1d default init: kaiming_uniform(a=sqrt(5)) ==
-    # U(-1/sqrt(fan_in), 1/sqrt(fan_in)) up to gain; variance_scaling below
-    # is the standard flax analogue.
-    return nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform")
+def _torch_conv_uniform(fan_in: int):
+    """torch Conv1d/ConvTranspose1d default init: kaiming_uniform(a=sqrt(5))
+    == U(-1/sqrt(fan_in), 1/sqrt(fan_in)), with torch's fan_in convention
+    fan_in = weight.size(1) * kernel_size — i.e. in_ch*k for Conv1d's
+    (out, in, k) weight and out_ch*k for ConvTranspose1d's (in, out, k)
+    weight (a known torch quirk). The bias uses the same bound. Explicit
+    bound rather than flax variance_scaling: the latter's default axis
+    convention computes fan_in = in*out on these layouts (4x under-scaled
+    for Conv1d(1->64, k=4))."""
+    bound = fan_in ** -0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 
 
 class Conv1d(nn.Module):
@@ -38,7 +49,8 @@ class Conv1d(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[1]
-        w = self.param("kernel", _he_uniform(),
+        init = _torch_conv_uniform(in_ch * self.kernel_size)
+        w = self.param("kernel", init,
                        (self.features, in_ch, self.kernel_size))
         y = lax.conv_general_dilated(
             x, w.astype(x.dtype),
@@ -46,7 +58,7 @@ class Conv1d(nn.Module):
             padding=[(self.padding, self.padding)],
             dimension_numbers=_DN)
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            b = self.param("bias", init, (self.features,))
             y = y + b.astype(y.dtype)[None, :, None]
         return y
 
@@ -63,8 +75,11 @@ class ConvTranspose1d(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[1]
+        # torch fan_in = weight.size(1)*k = out_ch*k on the (in, out, k)
+        # ConvTranspose layout
+        init = _torch_conv_uniform(self.features * self.kernel_size)
         # stored in torch convT layout (in, out, k) for checkpoint parity
-        w = self.param("kernel", _he_uniform(),
+        w = self.param("kernel", init,
                        (in_ch, self.features, self.kernel_size))
         w_conv = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # (out, in, k)
         pad = self.kernel_size - 1 - self.padding
@@ -75,6 +90,6 @@ class ConvTranspose1d(nn.Module):
             lhs_dilation=(self.stride,),
             dimension_numbers=_DN)
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            b = self.param("bias", init, (self.features,))
             y = y + b.astype(y.dtype)[None, :, None]
         return y

@@ -8,6 +8,14 @@ Two recipes exist in the reference:
    (pct_start=0.3, cosine anneal, div_factor=25, final_div_factor=1e4).
    optax.cosine_onecycle_schedule implements exactly this.
 
+   DOCUMENTED DEVIATION (split-train stepping): the reference advances
+   the scheduler per optimizer step only under mix_train (train.py:90);
+   its split path calls scheduler.step() once per EPOCH (train.py:131)
+   against the same total_steps, so a reference split run effectively
+   never leaves early warmup. We step per optimizer step in BOTH modes —
+   an intentional fix of that quirk, so split-mode LR trajectories
+   diverge from a bit-exact reference replay.
+
 2. VAE (model/pretrained/core.py:15-20):
    AdamW(lr, weight_decay=1e-2) + LinearLR(start_factor=0.1, 1000 iters)
    then CosineAnnealingLR(T_max=400-1000, eta_min=1e-6). Note the reference

@@ -128,18 +128,24 @@ def make_denoiser_train_step(
         else:
             loss, grads = jax.value_and_grad(loss_fn)(
                 state.params, vae_params, key, x, text_emb)
-        if nan_guard:
-            ok = jnp.isfinite(loss)
-            jax.lax.cond(
-                ok, lambda: None,
-                lambda: jax.debug.print(
-                    "t2ms_tpu nan_guard: non-finite loss at step {s}; "
-                    "skipping update", s=state.step))
-            grads = jax.tree_util.tree_map(
-                lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
+        if nan_guard:
+            # skip the WHOLE update on a non-finite loss: params and
+            # opt_state both keep their previous values (zeroing only the
+            # grads would still apply decayed AdamW momentum/weight decay
+            # and advance the moments).
+            # No jax.debug.print here: the axon TPU backend does not
+            # support host callbacks; the returned non-finite loss is the
+            # host-visible signal (the CLIs log it).
+            ok = jnp.isfinite(loss)
+            params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old),
+                params, state.params)
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old),
+                opt_state, state.opt_state)
         return TrainState(params, opt_state, state.step + 1), loss
 
     return step_fn

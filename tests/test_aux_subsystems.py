@@ -38,20 +38,28 @@ def test_nan_guard_skips_update():
     state = TrainState(dp, opt.init(dp), jnp.zeros((), jnp.int32))
     step = make_denoiser_train_step(dit, vae, opt, donate=False,
                                     nan_guard=True)
-    # poison the input -> loss NaN -> params must not move
+    # poison the input -> loss NaN -> the WHOLE update is skipped: every
+    # params leaf AND every opt_state leaf (AdamW moments, count) must
+    # keep its previous value
     bad = jnp.full((4, 24), jnp.nan)
-    before = jax.tree_util.tree_leaves(state.params)[0].copy()
+    params_before = jax.tree_util.tree_map(jnp.copy, state.params)
+    opt_before = jax.tree_util.tree_map(jnp.copy, state.opt_state)
     state2, loss = step(state, vp, jax.random.key(2), bad,
                         jnp.zeros((4, 32)))
     assert not np.isfinite(float(loss))
-    after = jax.tree_util.tree_leaves(state2.params)[0]
-    np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+    for a, b in zip(jax.tree_util.tree_leaves(params_before),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(opt_before),
+                    jax.tree_util.tree_leaves(state2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # healthy input still updates
     state3, loss3 = step(state2, vp, jax.random.key(3), x,
                          jnp.zeros((4, 32)))
     assert np.isfinite(float(loss3))
     moved = jax.tree_util.tree_leaves(state3.params)[0]
-    assert not np.array_equal(np.asarray(after), np.asarray(moved))
+    unmoved = jax.tree_util.tree_leaves(state2.params)[0]
+    assert not np.array_equal(np.asarray(unmoved), np.asarray(moved))
 
 
 def test_logging_artifacts(tmp_path):

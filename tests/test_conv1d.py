@@ -42,3 +42,29 @@ def test_conv_transpose1d_matches_torch(k, s, p, T):
                               padding=p).numpy()
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_init_bounds_match_torch_defaults():
+    """From-scratch init must match torch's kaiming_uniform(a=sqrt(5))
+    bounds, including torch's fan_in = weight.size(1)*k convention (out*k
+    for ConvTranspose). flax variance_scaling's default axes computed
+    fan_in = in*out on these layouts (4x under-scaled for 1->64, k=4)."""
+    import torch.nn as tnn
+
+    conv = Conv1d(features=64, kernel_size=4)
+    p = conv.init(jax.random.key(0), jnp.ones((1, 1, 32)))["params"]
+    ref = tnn.Conv1d(1, 64, 4)
+    bound = 1.0 / (1 * 4) ** 0.5                     # = 0.5
+    assert abs(float(ref.weight.abs().max()) - bound) < 0.05
+    for name in ("kernel", "bias"):
+        w = np.asarray(p[name])
+        assert w.max() <= bound and w.min() >= -bound
+        assert w.max() > 0.9 * bound, f"{name} under-scaled: {w.max()}"
+
+    convt = ConvTranspose1d(features=3, kernel_size=4)
+    pt = convt.init(jax.random.key(1), jnp.ones((1, 64, 32)))["params"]
+    reft = tnn.ConvTranspose1d(64, 3, 4)
+    bound_t = 1.0 / (3 * 4) ** 0.5                   # torch: size(1)*k
+    assert abs(float(reft.weight.abs().max()) - bound_t) < 0.05
+    w = np.asarray(pt["kernel"])
+    assert w.max() <= bound_t and w.max() > 0.9 * bound_t
