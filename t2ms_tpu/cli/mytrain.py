@@ -40,6 +40,12 @@ def get_args(argv=None):
     p.add_argument("--total_step", type=int, default=100)
     p.add_argument("--config", type=str, default="config.yaml")
     p.add_argument("--hard_stop_epoch", type=int, default=4000)
+    p.add_argument("--max_ckpts_keep", type=int, default=0,
+                   help="retention: keep at most N checkpoints "
+                        "(0 = keep all, the reference behavior)")
+    p.add_argument("--ckpt_keep_period", type=int, default=0,
+                   help="retention: additionally preserve every N-th "
+                        "epoch checkpoint forever (0 = off)")
     p.add_argument("--save_every", type=int, default=100)
     args = p.parse_args(argv)
     args = get_cfg(args)
@@ -102,6 +108,10 @@ def train(args):
     from t2ms_tpu.data.prefetch import prefetch_to_device
     from t2ms_tpu.utils.logging import profile_trace
     fw = FrameworkConfig.from_env()
+    mgr = ckpt.TrainCheckpointManager(
+        args.save_path,
+        max_to_keep=getattr(args, "max_ckpts_keep", 0) or None,
+        keep_period=getattr(args, "ckpt_keep_period", 0) or None)
     with profile_trace(fw.profile_dir):
         for epoch in range(start_epoch, args.epochs):
             group_losses = []
@@ -124,11 +134,12 @@ def train(args):
                 plot_loss_curve(epoch_losses, args.save_path)
                 # the reference persists a list it never appends to
                 # (mytrain.py:46,93); we persist the actual epoch losses
-                ckpt.save_train_ckpt(args.save_path, epoch, state.params,
-                                     state.opt_state,
-                                     loss_list + epoch_losses)
+                mgr.save(epoch, state.params, state.opt_state,
+                         loss_list + epoch_losses)
             if epoch == args.hard_stop_epoch:
                 break
+    mgr.wait_until_finished()
+    mgr.close()
     return state
 
 

@@ -91,26 +91,48 @@ def train(args):
 
 
 def inference(model, params, test_batcher, save_dir, num_samples=8):
-    """Reconstruction eval: comparison plots, PCA/t-SNE, MAE/RMSE
-    (reference :55-95)."""
-    real, recon = [], []
+    """Reconstruction eval: comparison plots, PCA/t-SNE, MAE/RMSE overall
+    AND per length bucket (reference :55-108).
+
+    The reference's any_length_evaluation groups samples by length
+    {24,48,96} (:97-108) — that grouping is exactly what measures the
+    VAE's length-adaptivity — then (a quirk) keeps only the 48 bucket for
+    MAE/RMSE. Here metrics.txt carries the overall numbers plus one
+    MAE_{L}/RMSE_{L} pair per encountered length."""
+    groups: dict[int, tuple[list, list]] = {}
     for batch in test_batcher.epoch(0):
         x = jnp.asarray(batch.x)
+        L = int(x.shape[-1])
+        real_g, recon_g = groups.setdefault(L, ([], []))
+        if len(real_g) >= num_samples:
+            continue
         out, _, _, _ = model.apply(params, x)
-        real.extend(np.asarray(x))
-        recon.extend(np.asarray(out))
-        if len(real) >= num_samples:
+        real_g.extend(np.asarray(x))
+        recon_g.extend(np.asarray(out))
+        if all(len(g[0]) >= num_samples for g in groups.values()) \
+                and len(groups) >= test_batcher.num_buckets:
             break
-    real, recon = real[:num_samples], recon[:num_samples]
+    real = [a for g in groups.values() for a in g[0][:num_samples]]
+    recon = [a for g in groups.values() for a in g[1][:num_samples]]
     plot_comparison(real, recon, save_dir)
     plot_pca_tsne(real, recon, save_dir)
-    r = np.concatenate([np.ravel(a) for a in real])
-    g = np.concatenate([np.ravel(a) for a in recon])
-    mae = float(np.mean(np.abs(r - g)))
-    rmse = float(np.sqrt(np.mean((r - g) ** 2)))
+
+    def _mae_rmse(rs, gs):
+        r = np.concatenate([np.ravel(a) for a in rs])
+        g = np.concatenate([np.ravel(a) for a in gs])
+        return (float(np.mean(np.abs(r - g))),
+                float(np.sqrt(np.mean((r - g) ** 2))))
+
+    mae, rmse = _mae_rmse(real, recon)
     with open(os.path.join(save_dir, "metrics.txt"), "w") as f:
         f.write(f"MAE: {mae}\n")
         f.write(f"RMSE: {rmse}\n")
+        for L in sorted(groups):
+            gm, gr = _mae_rmse(groups[L][0][:num_samples],
+                               groups[L][1][:num_samples])
+            f.write(f"MAE_{L}: {gm}\n")
+            f.write(f"RMSE_{L}: {gr}\n")
+            print(f"len {L}: MAE {gm:.6f} RMSE {gr:.6f}")
     print(f"MAE: {mae:.6f} RMSE: {rmse:.6f}")
     return mae, rmse
 

@@ -45,6 +45,12 @@ def get_args(argv=None):
     p.add_argument("--denoiser", type=str, default="DiT")
     p.add_argument("--general_seed", type=int, default=2025)
     p.add_argument("--save_every", type=int, default=1000)
+    p.add_argument("--max_ckpts_keep", type=int, default=0,
+                   help="retention: keep at most N checkpoints "
+                        "(0 = keep all, the reference behavior)")
+    p.add_argument("--ckpt_keep_period", type=int, default=0,
+                   help="retention: additionally preserve every N-th "
+                        "epoch checkpoint forever (0 = off)")
     args = p.parse_args(argv)
     root = args.dataset_name.split("_")[0]
     args.pretrained_model_path = os.path.join(
@@ -110,6 +116,10 @@ def _run_epochs(args, batcher, step_fn, state, vae_params, key, logger,
                 timer, loss_list, start_epoch):
     from t2ms_tpu.data.prefetch import prefetch_to_device
     from t2ms_tpu.training import checkpoints as ckpt
+    mgr = ckpt.TrainCheckpointManager(
+        args.save_path,
+        max_to_keep=getattr(args, "max_ckpts_keep", 0) or None,
+        keep_period=getattr(args, "ckpt_keep_period", 0) or None)
     for epoch in range(start_epoch, args.epochs):
         staged = prefetch_to_device(
             batcher.epoch(epoch),
@@ -126,8 +136,9 @@ def _run_epochs(args, batcher, step_fn, state, vae_params, key, logger,
                    steps_per_sec=timer.steps_per_sec)
         if epoch % args.save_every == 0 or epoch == args.epochs - 1:
             print(f"Saving model {epoch} to {args.save_path}...")
-            ckpt.save_train_ckpt(args.save_path, epoch, state.params,
-                                 state.opt_state, loss_list)
+            mgr.save(epoch, state.params, state.opt_state, loss_list)
+    mgr.wait_until_finished()
+    mgr.close()
     return state
 
 

@@ -56,6 +56,10 @@ class BucketBatcher:
                   else -(-size // self.batch_size))
         return n
 
+    @property
+    def num_buckets(self) -> int:
+        return len(self.buckets)
+
     def epoch(self, epoch_idx: int = 0) -> Iterator[ArrayBatch]:
         rng = np.random.default_rng((self.seed, epoch_idx))
         slots: List[Tuple[int, np.ndarray]] = []

@@ -19,7 +19,79 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 __all__ = ["save_train_ckpt", "load_train_ckpt", "save_params",
-           "load_params", "latest_step", "wait_for_saves"]
+           "load_params", "latest_step", "wait_for_saves",
+           "TrainCheckpointManager"]
+
+
+class TrainCheckpointManager:
+    """Orbax CheckpointManager with retention, keeping the reference's
+    ``model_{step}`` naming (train.py:92-95).
+
+    ``max_to_keep`` bounds the number of retained checkpoints;
+    ``keep_period`` additionally preserves every keep_period-th step
+    forever (preserve-every-N). None for either = unbounded, matching the
+    reference's keep-everything behavior. The variable-length loss-history
+    sidecar lives next to each step directory and is pruned in lockstep
+    with Orbax's retention deletes."""
+
+    def __init__(self, directory: str, max_to_keep: Optional[int] = None,
+                 keep_period: Optional[int] = None,
+                 asynchronous: bool = False):
+        self.directory = os.path.abspath(directory)
+        opts = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            keep_period=keep_period,
+            step_prefix="model",
+            enable_async_checkpointing=asynchronous,
+            create=True)
+        self._mgr = ocp.CheckpointManager(self.directory, options=opts)
+
+    def _sidecar(self, step: int) -> str:
+        return os.path.join(self.directory,
+                            f"model_{step}.loss_history.npy")
+
+    def save(self, step: int, params, opt_state, loss_history=None) -> None:
+        payload = {"params": params, "opt_state": opt_state,
+                   "step": np.asarray(step)}
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        np.save(self._sidecar(step),
+                np.asarray(loss_history if loss_history is not None else [],
+                           dtype=np.float32))
+        kept = set(self.all_steps())
+        for entry in os.listdir(self.directory):
+            if entry.startswith("model_") and \
+                    entry.endswith(".loss_history.npy"):
+                try:
+                    s = int(entry.split("_", 1)[1].split(".", 1)[0])
+                except ValueError:
+                    continue
+                if s not in kept and s != step:
+                    os.remove(os.path.join(self.directory, entry))
+
+    def restore(self, step: Optional[int], params_like,
+                opt_state_like) -> Dict[str, Any]:
+        if step is None:
+            step = self.latest_step()
+        target = {"params": params_like, "opt_state": opt_state_like,
+                  "step": np.asarray(0)}
+        restored = dict(self._mgr.restore(
+            step, args=ocp.args.StandardRestore(target)))
+        sidecar = self._sidecar(step)
+        restored["loss_history"] = (np.load(sidecar).tolist()
+                                    if os.path.exists(sidecar) else [])
+        return restored
+
+    def all_steps(self):
+        return list(self._mgr.all_steps())
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def wait_until_finished(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()
 
 
 def wait_for_saves() -> None:
@@ -70,6 +142,10 @@ def save_train_ckpt(directory: str, step: int, params, opt_state,
 
 
 def load_train_ckpt(path: str, params_like, opt_state_like) -> Dict[str, Any]:
+    hist_base = os.path.abspath(path)
+    # CheckpointManager-written steps nest the pytree under default/
+    if os.path.isdir(os.path.join(os.path.abspath(path), "default")):
+        path = os.path.join(os.path.abspath(path), "default")
     if opt_state_like is None:
         # params-only restore (inference path): ignore the stored opt_state
         handler = ocp.PyTreeCheckpointer()
@@ -87,8 +163,8 @@ def load_train_ckpt(path: str, params_like, opt_state_like) -> Dict[str, Any]:
             "step": np.asarray(0),
         }
         restored = _ckptr().restore(os.path.abspath(path), target)
-    hist_path = os.path.abspath(path) + ".loss_history.npy"
-    legacy = os.path.join(os.path.abspath(path), "loss_history.npy")
+    hist_path = hist_base + ".loss_history.npy"
+    legacy = os.path.join(hist_base, "loss_history.npy")
     if os.path.exists(hist_path):
         restored["loss_history"] = np.load(hist_path).tolist()
     elif os.path.exists(legacy):

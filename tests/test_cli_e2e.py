@@ -75,6 +75,15 @@ def test_t2s_pretrain_vae_cli(t2s_env, monkeypatch):
     assert os.path.isdir(os.path.join(d, "final_model"))
     assert os.path.exists(os.path.join(d, "metrics.txt"))
     assert os.path.exists(os.path.join(d, "pca_tsne.png"))
+    # per-length grouped recon metrics (reference any_length_evaluation,
+    # pretrained_lavae_unified.py:97-108): one MAE_{L}/RMSE_{L} pair per
+    # length bucket in the mix-train set
+    metrics = open(os.path.join(d, "metrics.txt")).read()
+    assert "MAE: " in metrics and "RMSE: " in metrics
+    grouped = [ln for ln in metrics.splitlines() if ln.startswith("MAE_")]
+    assert len(grouped) >= 2, metrics
+    for ln in metrics.splitlines():
+        assert np.isfinite(float(ln.split(": ")[1]))
 
 
 @pytest.fixture(scope="module")

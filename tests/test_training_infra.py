@@ -110,3 +110,40 @@ def test_adamw_trajectory_matches_torch():
 
     np.testing.assert_allclose(np.asarray(wj), wt.detach().numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_checkpoint_manager_retention_and_resume(tmp_path):
+    """TrainCheckpointManager: max_to_keep + keep_period retention with
+    model_{step} naming; sidecar pruning; restore of latest; and
+    load_train_ckpt interop with manager-written step dirs (the CLI
+    --checkpoint_path resume path)."""
+    import os
+
+    from t2ms_tpu.training.checkpoints import (TrainCheckpointManager,
+                                               load_train_ckpt)
+
+    params = {"w": jnp.arange(4.0)}
+    opt_state = {"m": jnp.zeros(4)}
+    mgr = TrainCheckpointManager(str(tmp_path), max_to_keep=2, keep_period=3)
+    for s in range(7):
+        mgr.save(s, {"w": jnp.arange(4.0) + s}, opt_state,
+                 [float(x) for x in range(s + 1)])
+    mgr.wait_until_finished()
+    assert mgr.all_steps() == [0, 3, 5, 6]
+    entries = sorted(os.listdir(tmp_path))
+    assert "model_6" in entries and "model_4" not in entries
+    assert "model_6.loss_history.npy" in entries
+    assert "model_4.loss_history.npy" not in entries   # pruned with step
+    assert "model_3.loss_history.npy" in entries       # keep_period kept
+
+    r = mgr.restore(None, params, opt_state)
+    assert int(r["step"]) == 6
+    np.testing.assert_array_equal(np.asarray(r["params"]["w"]),
+                                  np.arange(4.0) + 6)
+    assert r["loss_history"] == [0, 1, 2, 3, 4, 5, 6]
+    mgr.close()
+
+    r2 = load_train_ckpt(str(tmp_path / "model_5"), params, opt_state)
+    np.testing.assert_array_equal(np.asarray(r2["params"]["w"]),
+                                  np.arange(4.0) + 5)
+    assert r2["loss_history"] == [0, 1, 2, 3, 4, 5]
