@@ -6,7 +6,7 @@ import os
 import numpy as np
 
 from t2ms_tpu.cli.metrics_experiment import run_experiment
-from t2ms_tpu.parallel.pp import annotate, current_stage, stage
+from t2ms_tpu.parallel.pp import current_stage, stage
 from t2ms_tpu.utils.prng import seed_everything
 
 
@@ -39,8 +39,7 @@ def test_pp_stage_hooks():
         with stage(1):
             assert current_stage() == 1
         assert current_stage() == 0
-    x = jnp.ones((4, 4))
-    assert annotate(x) is x          # no 'stage' mesh axis -> identity
+    assert current_stage() is None
 
 
 def test_seed_everything():
