@@ -44,19 +44,52 @@ def get_args(argv=None):
     p.add_argument("--general_seed", type=int, default=2025)
     p.add_argument("--max_batches", type=int, default=0,
                    help="0 = all test batches")
+    p.add_argument("--checkpoint_file", type=str, default="",
+                   help="explicit denoiser checkpoint path; a .pth file "
+                        "is imported from the reference torch format")
+    p.add_argument("--vae_file", type=str, default="",
+                   help="explicit VAE checkpoint path; a .pth file is "
+                        "imported from the reference torch format "
+                        "(whole-pickled module or state_dict)")
     args = p.parse_args(argv)
     args.mix_train = False
     model_root = args.dataset_name.split("_")[0]
-    args.checkpoint_path = os.path.join(
+    args.checkpoint_path = args.checkpoint_file or os.path.join(
         denoiser_ckpt_dir(args.save_path, args.backbone, args.denoiser,
                           model_root),
         f"model_{args.checkpoint_id}")
-    args.pretrained_model_path = os.path.join(
+    args.pretrained_model_path = args.vae_file or os.path.join(
         t2s_pretrained_dir(model_root), "final_model")
     args.generation_save_path = generation_dir(
         args.save_path, args.backbone, args.denoiser, args.dataset_name,
         args.cfg_scale, args.total_step)
     return args
+
+
+def _load_torch_vae_params(path: str):
+    """Reference whole-pickled VAE (.pth) -> LAVAE params
+    (infer.py:39-41 torch.load(weights_only=False))."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))))
+    from tools.import_torch_ckpt import (lavae_params_from_state_dict,
+                                         load_torch_file)
+    return lavae_params_from_state_dict(load_torch_file(path))
+
+
+def _load_torch_denoiser_params(path: str, kind: str):
+    """Reference denoiser checkpoint (.pth, train-loop dict or plain
+    state_dict) -> DiT/MLPDenoiser params (infer.py:43-48)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))))
+    from tools.import_torch_ckpt import (dit_params_from_state_dict,
+                                         load_torch_file,
+                                         mlp_params_from_state_dict)
+    sd = load_torch_file(path)
+    if kind == "MLP":
+        return mlp_params_from_state_dict(sd)
+    return dit_params_from_state_dict(sd)
 
 
 def infer(args, run_dir: str, seed_offset: int = 0, collect_gif=True):
@@ -69,14 +102,23 @@ def infer(args, run_dir: str, seed_offset: int = 0, collect_gif=True):
     vae = build_t2s_vae()
     probe = jnp.zeros((2, length))
     vae_params = vae.init(jax.random.key(0), probe)
-    if os.path.exists(args.pretrained_model_path):
+    torch_vae = args.pretrained_model_path.endswith(".pth")
+    if torch_vae and os.path.exists(args.pretrained_model_path):
+        vae_params = _load_torch_vae_params(args.pretrained_model_path)
+        print(f"Imported reference VAE from {args.pretrained_model_path}")
+    elif os.path.exists(args.pretrained_model_path):
         vae_params = ckpt.load_params(args.pretrained_model_path, vae_params)
 
     denoiser = build_denoiser(args.denoiser, latent_len=30, latent_dim=64)
     z, _ = vae.apply(vae_params, probe, method=vae.encode)
     d_params = denoiser.init(jax.random.key(1), z, jnp.zeros(2),
                              jnp.zeros((2, 128)))
-    if os.path.exists(args.checkpoint_path):
+    if args.checkpoint_path.endswith(".pth") and \
+            os.path.exists(args.checkpoint_path):
+        d_params = _load_torch_denoiser_params(args.checkpoint_path,
+                                               args.denoiser)
+        print(f"Imported reference denoiser from {args.checkpoint_path}")
+    elif os.path.exists(args.checkpoint_path):
         restored = ckpt.load_train_ckpt(args.checkpoint_path, d_params, None)
         d_params = restored["params"]
         print(f"Loaded denoiser from {args.checkpoint_path}")

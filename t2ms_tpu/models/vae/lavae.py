@@ -35,8 +35,15 @@ __all__ = ["LAVAE", "lavae_loss", "smooth_l1_temporal_loss"]
 
 
 class ResidualStack(nn.Module):
-    """N x [ReLU -> Conv1d(k3,p1,no-bias) -> ReLU -> Conv1d(k1,no-bias)]
-    with skip, then a final ReLU (reference vqvae.py:7-33)."""
+    """N x residual units, then a final ReLU (reference vqvae.py:7-33).
+
+    IMPORTANT reference quirk reproduced here: the unit's Sequential
+    starts with ReLU(inplace=True) (vqvae.py:11), which MUTATES the skip
+    operand before the addition in ``x + self._block(x)`` — the reference
+    therefore computes relu(x) + conv1(relu(conv3(relu(x)))), i.e. the
+    trunk passes through ReLU every unit. Trained reference weights only
+    reproduce under these semantics (verified empirically; checkpoint
+    interop golden in tests/test_torch_ckpt_import.py)."""
     num_hiddens: int
     num_residual_layers: int
     num_residual_hiddens: int
@@ -44,9 +51,9 @@ class ResidualStack(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_residual_layers):
-            h = nn.relu(x)
+            x = nn.relu(x)               # inplace-ReLU aliases the skip
             h = Conv1d(self.num_residual_hiddens, 3, 1, 1, use_bias=False,
-                       name=f"res{i}_conv3")(h)
+                       name=f"res{i}_conv3")(x)
             h = nn.relu(h)
             h = Conv1d(self.num_hiddens, 1, 1, 0, use_bias=False,
                        name=f"res{i}_conv1")(h)

@@ -18,9 +18,11 @@ def _t(x):
 
 
 def _res_stack(x, p, n_layers):
+    # reference quirk: ReLU(inplace=True) in the unit's Sequential mutates
+    # the skip operand (vqvae.py:11,22), so the trunk is relu'd every unit
     for i in range(n_layers):
-        h = F.relu(x)
-        h = F.conv1d(h, _t(p[f"res{i}_conv3"]["kernel"]), None, padding=1)
+        x = F.relu(x)
+        h = F.conv1d(x, _t(p[f"res{i}_conv3"]["kernel"]), None, padding=1)
         h = F.relu(h)
         h = F.conv1d(h, _t(p[f"res{i}_conv1"]["kernel"]), None)
         x = x + h
