@@ -39,14 +39,39 @@ class BucketBatcher:
 
     buckets: dict length -> dict(x=(N,...), embedding=(N,E), texts=[...],
     subjects?/extra_embedding?). Each epoch: shuffle within buckets, emit
-    fixed-size batches, interleave across buckets in shuffled order."""
+    fixed-size batches, interleave across buckets in shuffled order.
+
+    Multi-host (SURVEY.md §2.6 DP row): pass process_index/process_count
+    (default: jax process topology) and ``batch_size`` is treated as the
+    GLOBAL batch — every process draws the identical seeded shuffle, then
+    keeps only its contiguous 1/process_count slice of each batch, so the
+    per-host streams partition the global stream exactly.
+    parallel.mesh.global_shard_batch reassembles the global jax.Array via
+    jax.make_array_from_process_local_data."""
 
     def __init__(self, buckets: Dict[int, dict], batch_size: int,
-                 seed: int = 0, drop_last: bool = True):
+                 seed: int = 0, drop_last: bool = True,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         self.buckets = buckets
         self.batch_size = batch_size
         self.seed = seed
         self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def _local_slice(self, idx: np.ndarray) -> np.ndarray:
+        pc, pi = self.process_count, self.process_index
+        if pc is None:
+            import jax
+            pc, pi = jax.process_count(), jax.process_index()
+        if pc <= 1:
+            return idx
+        per = len(idx) // pc
+        if per == 0:
+            raise ValueError(
+                f"global batch {len(idx)} < process_count {pc}")
+        return idx[pi * per:(pi + 1) * per]
 
     def __len__(self):
         n = 0
@@ -77,6 +102,7 @@ class BucketBatcher:
         order = rng.permutation(len(slots))
         for i in order:
             length, idx = slots[i]
+            idx = self._local_slice(idx)
             data = self.buckets[length]
             yield ArrayBatch(
                 x=data["x"][idx],

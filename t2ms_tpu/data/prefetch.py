@@ -29,14 +29,16 @@ def prefetch_to_device(batch_iter: Iterator, size: int = 2,
 
     transform(batch) -> pytree of arrays to place (default: identity).
     With a mesh, array leaves get their batch axis sharded over 'data'."""
-    from t2ms_tpu.parallel.mesh import shard_batch
+    from t2ms_tpu.parallel.mesh import global_shard_batch
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
 
     def _place(batch):
         payload = transform(batch) if transform is not None else batch
         if mesh is not None:
-            return batch, shard_batch(mesh, payload)
+            # multi-host aware: assembles the global array from
+            # process-local rows when jax.process_count() > 1
+            return batch, global_shard_batch(mesh, payload)
         return batch, jax.tree_util.tree_map(
             lambda a: jax.device_put(np.asarray(a))
             if isinstance(a, (np.ndarray, jax.Array)) else a, payload)

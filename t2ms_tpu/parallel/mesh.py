@@ -23,7 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch",
-           "host_local_batch_size"]
+           "global_shard_batch", "host_local_batch_size"]
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
@@ -63,6 +63,25 @@ def shard_batch(mesh: Mesh, batch):
     def _place(x):
         arr = jax.numpy.asarray(x)
         return jax.device_put(arr, data_sharding(mesh, arr.ndim))
+    return jax.tree_util.tree_map(_place, batch)
+
+
+def global_shard_batch(mesh: Mesh, batch):
+    """Multi-host-aware batch placement (SURVEY.md §2.6 DP row).
+
+    Single-process: identical to shard_batch. Multi-process: each host
+    passes only its process-LOCAL rows (loaded by a BucketBatcher
+    constructed with process_index/process_count) and
+    ``jax.make_array_from_process_local_data`` assembles the global
+    jax.Array across hosts — no host ever materializes another host's
+    data, and XLA sees one globally-sharded batch axis."""
+    if jax.process_count() == 1:
+        return shard_batch(mesh, batch)
+
+    def _place(x):
+        arr = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            data_sharding(mesh, arr.ndim), arr)
     return jax.tree_util.tree_map(_place, batch)
 
 

@@ -37,3 +37,44 @@ def test_prefetch_transform_and_error():
     np.testing.assert_array_equal(np.asarray(dev), np.full(3, 2.0))
     with pytest.raises(RuntimeError, match="boom"):
         next(it)
+
+
+def test_multihost_batcher_partitions_global_stream():
+    """Two simulated processes drawing the same seeded shuffle must see
+    disjoint contiguous slices whose union is exactly the single-process
+    global batch (SURVEY.md §2.6 DP per-host loading)."""
+    from t2ms_tpu.data.loaders import BucketBatcher
+
+    rng = np.random.default_rng(0)
+    buckets = {24: dict(x=rng.standard_normal((32, 24)),
+                        embedding=rng.standard_normal((32, 8)),
+                        texts=[f"t{i}" for i in range(32)])}
+    global_b = BucketBatcher(buckets, 8, seed=5, process_count=1,
+                             process_index=0)
+    p0 = BucketBatcher(buckets, 8, seed=5, process_count=2, process_index=0)
+    p1 = BucketBatcher(buckets, 8, seed=5, process_count=2, process_index=1)
+    for gb, b0, b1 in zip(global_b.epoch(3), p0.epoch(3), p1.epoch(3)):
+        assert b0.x.shape[0] == 4 and b1.x.shape[0] == 4
+        np.testing.assert_array_equal(np.concatenate([b0.x, b1.x]), gb.x)
+        np.testing.assert_array_equal(
+            np.concatenate([b0.embedding, b1.embedding]), gb.embedding)
+        assert b0.texts + b1.texts == gb.texts
+
+
+def test_global_shard_batch_assembles_process_local_data():
+    """Single-process degenerate path of the multi-host assembly: the
+    make_array_from_process_local_data call must produce the same global
+    array as shard_batch on an 8-device data mesh."""
+    import jax
+
+    from t2ms_tpu.parallel.mesh import (data_sharding, make_mesh,
+                                        shard_batch)
+
+    mesh = make_mesh(jax.devices()[:8], data=8, model=1)
+    x = np.arange(64, dtype=np.float32).reshape(16, 4)
+    via_local = jax.make_array_from_process_local_data(
+        data_sharding(mesh, 2), x)
+    via_put = shard_batch(mesh, x)
+    np.testing.assert_array_equal(np.asarray(via_local),
+                                  np.asarray(via_put))
+    assert via_local.sharding.is_equivalent_to(via_put.sharding, 2)
