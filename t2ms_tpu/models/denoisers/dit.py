@@ -77,18 +77,35 @@ class _Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import jax as _jax
+
         from t2ms_tpu.ops.attention import attention as _attn_dispatch
+        from t2ms_tpu.ops.attention import fused_heads_diffable
         B, N, D = x.shape
         h = self.num_heads
         hd = D // h
         qkv = nn.Dense(3 * D, kernel_init=_xavier(), dtype=self.compute_dtype,
                        name="qkv")(x)
-        q, k, v = jnp.split(qkv.reshape(B, N, 3, h, hd)
-                            .transpose(2, 0, 3, 1, 4), 3, axis=0)
-        q, k, v = q[0], k[0], v[0]                      # (B, h, N, hd)
-        y = _attn_dispatch(q, k, v, impl=self.attention_impl)
+        impl = self.attention_impl
+        if impl == "auto" and _jax.default_backend() not in ("cpu",) \
+                and 128 <= N < 1024 and N % 8 == 0:
+            impl = "fused"
+        if impl == "fused":
+            # serving-shape path: the qkv projection's feature order is
+            # already [q|k|v] x [head-major], so head h of q is the lane
+            # slice qkv[..., h*hd:(h+1)*hd] — no 5-D transpose copies, and
+            # the kernel emits the merged (B, N, D) layout proj consumes
+            # (profiled ~2.5x attention-phase win, BASELINE.md).
+            y = fused_heads_diffable(qkv[..., :D], qkv[..., D:2 * D],
+                                     qkv[..., 2 * D:], h)
+        else:
+            q, k, v = jnp.split(qkv.reshape(B, N, 3, h, hd)
+                                .transpose(2, 0, 3, 1, 4), 3, axis=0)
+            q, k, v = q[0], k[0], v[0]                  # (B, h, N, hd)
+            y = _attn_dispatch(q, k, v, impl=impl)
+            y = y.astype(self.compute_dtype)
+            y = y.transpose(0, 2, 1, 3).reshape(B, N, D)
         y = y.astype(self.compute_dtype)
-        y = y.transpose(0, 2, 1, 3).reshape(B, N, D)
         return nn.Dense(D, kernel_init=_xavier(), dtype=self.compute_dtype,
                         name="proj")(y)
 

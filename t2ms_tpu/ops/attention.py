@@ -20,7 +20,9 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["attention", "einsum_attention", "flash_attention"]
+__all__ = ["attention", "einsum_attention", "flash_attention",
+           "packed_attention", "fused_heads_attention",
+           "fused_heads_diffable"]
 
 
 def einsum_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -158,6 +160,162 @@ def vmem_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(B, H, N, D)
 
 
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """One program = ``pack`` (batch*head) rows of attention, scores
+    VMEM-resident.
+
+    Round-1's one-(batch,head)-per-program kernel lost to XLA's batched
+    einsum at N=480: 2048 tiny programs (~123 KB of input each) can't keep
+    the DMA and MXU pipelines full. Packing several rows per program and
+    letting Mosaic batch the dots restores the pipeline while still never
+    spilling the (N, N) scores to HBM — which is what bounds the einsum
+    path (the bf16 score tensor alone is ~1 GB/layer/step at the serving
+    op-point, BASELINE.md)."""
+    q = q_ref[...].astype(jnp.float32) * scale          # (pack, N, D)
+    k = k_ref[...].astype(jnp.float32)
+    s = jax.lax.dot_general(                            # (pack, N, N)
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[...] = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[...],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def packed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     scale: Optional[float] = None, pack: int = 4,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Pallas attention with ``pack`` (batch*head) rows per program and the
+    score matrix entirely in VMEM. The serving-shape winner (N a few
+    hundred, D small): removes the HBM score traffic that bounds eager
+    attention while keeping programs fat enough to pipeline. VMEM per
+    program ~ pack*(N*N*4 + 4*N*D*2) bytes — pack=4, N=480, D=32 is ~4 MB."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    B, H, N, D = q.shape
+    bh = B * H
+    while pack > 1 and bh % pack != 0:
+        pack //= 2
+    qf = q.reshape(bh, N, D)
+    kf = k.reshape(bh, N, D)
+    vf = v.reshape(bh, N, D)
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, N, D), q.dtype),
+        grid=(bh // pack,),
+        in_specs=[pl.BlockSpec((pack, N, D), lambda b: (b, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((pack, N, D), lambda b: (b, 0, 0)),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(B, H, N, D)
+
+
+def _fused_heads_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int,
+                        scale: float):
+    """One program = one batch element, ALL heads, natural (N, H*D) layout.
+
+    Profiling the serving op-point (BASELINE.md; trace 2026-08-16) showed
+    eager attention costs ~17 of 21 ms/step: the bf16 (B,H,N,N) probability
+    tensor round-trips HBM (~1.9 GB/layer) and the head split/merge
+    reshapes copy another ~250 MB/layer. This kernel eliminates both: it
+    consumes q/k/v in the PRE-head-split layout the qkv projection already
+    produces (head h = lane slice [h*D:(h+1)*D]), keeps every score matrix
+    in VMEM, and emits the merged (N, H*D) output the out-projection wants.
+    Heads are unrolled as independent 2D dot->softmax->dot chains so the
+    compiler can overlap head h's VPU softmax with head h+1's MXU matmuls.
+    Softmax runs in bf16 exactly like the XLA einsum path (max-subtraction
+    keeps the exps in [0,1] where bf16 is ample); the normalizing division
+    is deferred past the PV matmul so it touches (N, D), not (N, N)."""
+    H = num_heads
+    D = q_ref.shape[-1] // H
+    q_all = q_ref[0]
+    k_all = k_ref[0]
+    v_all = v_ref[0]
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        q = q_all[:, sl] * jnp.asarray(scale, q_all.dtype)
+        k = k_all[:, sl]
+        v = v_all[:, sl]
+        s = jax.lax.dot_general(                      # (N, N) scores, f32
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # Mosaic needs f32 acc
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp((s - m).astype(q.dtype))          # exp at input width
+        r = jnp.sum(e.astype(jnp.float32), axis=-1)   # (N,) f32
+        o = jax.lax.dot_general(
+            e, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (o / r[:, None]).astype(o_ref.dtype)
+
+
+def fused_heads_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          num_heads: int, scale: Optional[float] = None,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Head-packed VMEM attention on the natural (B, N, H*D) layout —
+    the serving-shape path (see _fused_heads_kernel). No head split/merge
+    transposes, no HBM score traffic."""
+    B, N, HD = q.shape
+    D = HD // num_heads
+    if scale is None:
+        scale = D ** -0.5
+    return pl.pallas_call(
+        functools.partial(_fused_heads_kernel, num_heads=num_heads,
+                          scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, N, HD), q.dtype),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, N, HD), lambda b: (b, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((1, N, HD), lambda b: (b, 0, 0)),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _einsum_natural(q, k, v, num_heads, scale=None):
+    """Eager oracle for the natural layout: split -> einsum -> merge."""
+    B, N, HD = q.shape
+    D = HD // num_heads
+
+    def split(x):
+        return x.reshape(B, N, num_heads, D).transpose(0, 2, 1, 3)
+
+    y = einsum_attention(split(q), split(k), split(v), scale)
+    return y.transpose(0, 2, 1, 3).reshape(B, N, HD)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_heads_diffable(q, k, v, num_heads):
+    """fused_heads_attention with an eager-recompute backward: serving
+    never differentiates; training recomputes attention for the VJP."""
+    return fused_heads_attention(q, k, v, num_heads)
+
+
+def _fused_heads_fwd(q, k, v, num_heads):
+    return fused_heads_attention(q, k, v, num_heads), (q, k, v)
+
+
+def _fused_heads_bwd(num_heads, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: _einsum_natural(a, b, c, num_heads), q, k, v)
+    return vjp(g)
+
+
+fused_heads_diffable.defvjp(_fused_heads_fwd, _fused_heads_bwd)
+
+
+@jax.custom_vjp
+def _packed_diffable(q, k, v):
+    """packed_attention with an einsum-recompute backward (same pattern as
+    _flash_diffable): serving never differentiates, training recomputes."""
+    return packed_attention(q, k, v)
+
+
+def _packed_fwd(q, k, v):
+    return packed_attention(q, k, v), (q, k, v)
+
+
 @jax.custom_vjp
 def _flash_diffable(q, k, v):
     """flash_attention with an einsum-recompute backward: the Pallas
@@ -178,19 +336,26 @@ def _flash_bwd(res, g):
 
 
 _flash_diffable.defvjp(_flash_fwd, _flash_bwd)
+_packed_diffable.defvjp(_packed_fwd, _flash_bwd)
 
 
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-              impl: str = "auto", flash_threshold: int = 1024
-              ) -> jnp.ndarray:
-    """Dispatcher: 'einsum' | 'flash' | 'auto' (flash on TPU for long N;
-    differentiable everywhere via the custom-VJP wrapper)."""
+              impl: str = "auto", flash_threshold: int = 1024,
+              packed_threshold: int = 256) -> jnp.ndarray:
+    """Dispatcher: 'einsum' | 'packed' | 'flash' | 'auto'. Auto on TPU:
+    einsum for tiny N, packed (VMEM scores) for the serving mid-range,
+    flash (online softmax) for long series; einsum on CPU. Differentiable
+    everywhere via the custom-VJP wrappers."""
     if impl == "einsum":
         return einsum_attention(q, k, v)
     if impl == "flash":
         return _flash_diffable(q, k, v)
+    if impl == "packed":
+        return _packed_diffable(q, k, v)
     n = q.shape[2]
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu and n >= flash_threshold and _auto_block(n):
         return _flash_diffable(q, k, v)
+    if on_tpu and n >= packed_threshold:
+        return _packed_diffable(q, k, v)
     return einsum_attention(q, k, v)

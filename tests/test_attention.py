@@ -142,3 +142,90 @@ def test_ring_attention_gradients_match_full():
     for gr, gf in zip(g_ring, g_full):
         np.testing.assert_allclose(np.asarray(gr), np.asarray(gf),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_packed_attention_matches_einsum_interpret():
+    from t2ms_tpu.ops.attention import packed_attention
+    q, k, v = _qkv(B=2, H=4, N=96, D=32)
+    want = einsum_attention(q, k, v)
+    for pack in (1, 2, 4, 8):
+        got = packed_attention(q, k, v, pack=pack, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_packed_attention_odd_pack_degrades():
+    """bh not divisible by the requested pack: pack halves until it fits."""
+    from t2ms_tpu.ops.attention import packed_attention
+    q, k, v = _qkv(B=3, H=2, N=32, D=16, seed=7)   # bh = 6
+    want = einsum_attention(q, k, v)
+    got = packed_attention(q, k, v, pack=4, interpret=True)  # -> pack 2
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_packed_dispatcher_is_differentiable():
+    """Training through impl='packed' produces einsum-equivalent grads."""
+    from t2ms_tpu.ops import attention as A
+    q, k, v = _qkv(N=64, D=32, B=1, H=2)
+    orig = A.packed_attention
+    A.packed_attention = lambda q, k, v, **kw: orig(q, k, v,
+                                                    interpret=True, **kw)
+    try:
+        g_packed = jax.grad(
+            lambda q: jnp.sum(A._packed_diffable(q, k, v) ** 2))(q)
+        g_einsum = jax.grad(
+            lambda q: jnp.sum(einsum_attention(q, k, v) ** 2))(q)
+    finally:
+        A.packed_attention = orig
+    np.testing.assert_allclose(np.asarray(g_packed), np.asarray(g_einsum),
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_fused_heads_matches_einsum_interpret():
+    from t2ms_tpu.ops.attention import _einsum_natural, fused_heads_attention
+    ks = jax.random.split(jax.random.key(11), 3)
+    q, k, v = (jax.random.normal(kk, (2, 96, 128)) for kk in ks)
+    want = _einsum_natural(q, k, v, 4)
+    got = fused_heads_attention(q, k, v, 4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_heads_is_differentiable():
+    from t2ms_tpu.ops import attention as A
+    ks = jax.random.split(jax.random.key(12), 3)
+    q, k, v = (jax.random.normal(kk, (1, 48, 64)) for kk in ks)
+    orig = A.fused_heads_attention
+    A.fused_heads_attention = lambda *a, **kw: orig(*a, interpret=True, **kw)
+    try:
+        g_fused = jax.grad(
+            lambda q: jnp.sum(A.fused_heads_diffable(q, k, v, 2) ** 2))(q)
+        g_eager = jax.grad(
+            lambda q: jnp.sum(A._einsum_natural(q, k, v, 2) ** 2))(q)
+    finally:
+        A.fused_heads_attention = orig
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_eager),
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_dit_with_fused_impl_matches_einsum():
+    """attention_impl='fused' (the TPU serving path, interpret mode here)
+    equals the einsum DiT output with identical params."""
+    from t2ms_tpu.models.denoisers import DiT
+    from t2ms_tpu.ops import attention as A
+    x = jax.random.normal(jax.random.key(13), (2, 64, 30))
+    t = jnp.array([0.3, 0.7])
+    emb = jax.random.normal(jax.random.key(14), (2, 128))
+    dit_e = DiT(latent_len=30, latent_dim=64, attention_impl="einsum")
+    params = dit_e.init(jax.random.key(0), x, t, emb)
+    out_e = dit_e.apply(params, x, t, emb)
+    orig = A.fused_heads_attention
+    A.fused_heads_attention = lambda *a, **kw: orig(*a, interpret=True, **kw)
+    try:
+        dit_f = DiT(latent_len=30, latent_dim=64, attention_impl="fused")
+        out_f = dit_f.apply(params, x, t, emb)
+    finally:
+        A.fused_heads_attention = orig
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e),
+                               rtol=5e-4, atol=5e-5)
