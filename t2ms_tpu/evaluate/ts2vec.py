@@ -7,18 +7,26 @@ SWA-averaged network (:64-65), random-crop training (:127-141), and
 ``initialize_ts2vec`` (:12-21) trains it on the eval data itself
 (batch 8, lr 1e-3, output_dims 100).
 
-TPU-native re-design:
-  * the train step (two encoder passes + hierarchical loss + AdamW + SWA
-    update) is ONE jitted, shape-stable function;
-  * random crops keep the reference's sampling *structure* but are
-    materialized as fixed-length NaN-padded windows (the encoder's NaN
+TPU-native re-design (round 2):
+  * the ENTIRE fit — every iteration's two encoder passes, hierarchical
+    loss, AdamW update and SWA average — is ONE ``lax.scan`` inside ONE
+    jitted program: one compile, one dispatch (the round-1 per-step loop
+    paid ~log2(T) compiles plus 5-10 ms tunnel latency per step);
+  * the crop length is a TRACED value consumed by a masked variant of the
+    hierarchical loss (``hierarchical_contrastive_loss_masked``), so the
+    crop-length distribution matches the reference EXACTLY — the round-1
+    power-of-two quantization is gone;
+  * all window/crop randomness is drawn on host up front with the same
+    sampling structure as the reference (:127-141); windows are realised
+    on device as roll+NaN-mask of fixed-length buffers (the encoder's NaN
     masking zeroes padding exactly like the short-window zero padding the
     torch version sees, so encoder outputs at real positions are
-    identical), and the overlap length ``crop_l`` is quantized to powers
-    of two — bounding XLA compilations to ~log2(T) programs instead of
-    O(T^2) dynamic shapes;
+    identical);
   * SWA is a jnp running average updated inside the step (torch
-    AveragedModel semantics: avg += (p - avg)/(n+1)).
+    AveragedModel semantics: avg += (p - avg)/(n+1));
+  * the scanned program is cached at module level keyed by the (hashable)
+    encoder config + static geometry, so the ten C-FID evaluations of a
+    multi-run experiment compile once.
 """
 
 from __future__ import annotations
@@ -33,7 +41,8 @@ import numpy as np
 from jax import lax
 
 __all__ = ["TS2Vec", "initialize_ts2vec", "TSEncoder",
-           "hierarchical_contrastive_loss"]
+           "hierarchical_contrastive_loss",
+           "hierarchical_contrastive_loss_masked"]
 
 _DN = ("NCH", "OIH", "NCH")
 
@@ -168,8 +177,75 @@ def hierarchical_contrastive_loss(z1, z2, alpha=0.5, temporal_unit=0):
     return loss / d
 
 
-def _prev_pow2(n: int) -> int:
-    return 1 << (int(n).bit_length() - 1)
+def _masked_pair_loss(z, group_valid, member_valid):
+    """Masked _off_diagonal_logsoftmax_loss: z (G, 2M, C) where only
+    ``group_valid`` (G,) groups and ``member_valid`` (M,) members (of each
+    half) are real; the rest is garbage to be ignored. Invalid members are
+    zeroed out of the similarity, their softmax columns pushed to -1e30
+    (finite so gradients stay clean), and the pair mean runs over the
+    valid (group, member) grid only."""
+    G, twoM, C = z.shape
+    M = twoM // 2
+    mv2 = jnp.concatenate([member_valid, member_valid])          # (2M,)
+    z = jnp.where(mv2[None, :, None], z, 0.0)
+    sim = jnp.einsum("gic,gjc->gij", z, z)
+    logits = jnp.tril(sim, k=-1)[:, :, :-1] + jnp.triu(sim, k=1)[:, :, 1:]
+    # column j of logits maps to original index j (j < i) else j + 1
+    i_idx = jnp.arange(twoM)[:, None]
+    j_idx = jnp.arange(twoM - 1)[None, :]
+    colmask = mv2[j_idx + (j_idx >= i_idx)]                      # (2M, 2M-1)
+    logits = jnp.where(colmask[None], logits, -1e30)
+    logp = -jax.nn.log_softmax(logits, axis=-1)
+    i = jnp.arange(M)
+    a = logp[:, i, M + i - 1]                                    # (G, M)
+    b = logp[:, M + i, i]
+    w = group_valid[:, None] & member_valid[None, :]
+    denom = jnp.maximum(jnp.sum(w), 1)
+    return (jnp.sum(jnp.where(w, a, 0.0))
+            + jnp.sum(jnp.where(w, b, 0.0))) / (2 * denom)
+
+
+def hierarchical_contrastive_loss_masked(z1, z2, crop_l, alpha=0.5,
+                                         temporal_unit=0):
+    """hierarchical_contrastive_loss where only the first ``crop_l``
+    (traced scalar) time positions of z1/z2 (B, T_max, C) are real.
+
+    Equals the exact-shape loss on (B, crop_l, C) for EVERY crop_l — this
+    is what lets the whole fit compile once with the reference's exact
+    crop-length distribution (reference :452-468 halves T by paired
+    max-pool, dropping the odd tail; here the static buffer halves while
+    the traced valid length halves with it, and each level's terms are
+    weighted by whether that level is live at this crop_l)."""
+    B, T_max, C = z1.shape
+    loss = jnp.asarray(0.0, z1.dtype)
+    d_total = jnp.asarray(0.0, z1.dtype)
+    length = jnp.asarray(crop_l, jnp.int32)
+    all_b = jnp.ones((B,), bool)
+    d = 0
+    while True:
+        T_d = z1.shape[1]
+        pos_valid = jnp.arange(T_d) < length                     # (T_d,)
+        live = (length >= 1).astype(z1.dtype)
+        d_total = d_total + live
+        if alpha != 0 and B > 1:
+            z = jnp.concatenate([z1, z2], axis=0).transpose(1, 0, 2)
+            loss = loss + alpha * live * _masked_pair_loss(z, pos_valid,
+                                                           all_b)
+        if d >= temporal_unit and alpha != 1 and T_d > 1:
+            z = jnp.concatenate([z1, z2], axis=1)
+            t_live = (length > 1).astype(z1.dtype)
+            loss = loss + (1 - alpha) * t_live * _masked_pair_loss(
+                z, all_b, pos_valid)
+        if T_d == 1:
+            break
+        T2 = (T_d // 2) * 2
+        z1 = jnp.where(pos_valid[None, :, None], z1, 0.0)
+        z2 = jnp.where(pos_valid[None, :, None], z2, 0.0)
+        z1 = z1[:, :T2].reshape(B, -1, 2, C).max(axis=2)
+        z2 = z2[:, :T2].reshape(B, -1, 2, C).max(axis=2)
+        length = length // 2
+        d += 1
+    return loss / jnp.maximum(d_total, 1.0)
 
 
 class TS2Vec:
@@ -191,52 +267,12 @@ class TS2Vec:
         self.swa_params = None
         self.swa_n = 0
         self.n_iters = 0
-        self._step_cache = {}
 
     # -- training ----------------------------------------------------------
-
-    def _make_step(self, crop_l: int):
-        if crop_l in self._step_cache:
-            return self._step_cache[crop_l]
-
-        @jax.jit
-        def step(params, opt_state, swa_params, swa_n, key,
-                 w1, w2, s1, s2):
-            """w1/w2: NaN-padded fixed-length windows; s1/s2: per-row start
-            of the overlap region inside each window."""
-            k1, k2, k3, k4 = jax.random.split(key, 4)
-
-            def loss_fn(p):
-                o1 = self.encoder.apply(p, w1, train=True, mask_rng=k1,
-                                        dropout_rng=k2)
-                o2 = self.encoder.apply(p, w2, train=True, mask_rng=k3,
-                                        dropout_rng=k4)
-                c1 = jax.vmap(lambda o, s: lax.dynamic_slice_in_dim(
-                    o, s, crop_l, axis=0))(o1, s1)
-                c2 = jax.vmap(lambda o, s: lax.dynamic_slice_in_dim(
-                    o, s, crop_l, axis=0))(o2, s2)
-                return hierarchical_contrastive_loss(
-                    c1, c2, temporal_unit=self.temporal_unit)
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            import optax
-            updates, opt_state = self.optimizer.update(grads, opt_state,
-                                                       params)
-            params = optax.apply_updates(params, updates)
-            swa_params = jax.tree_util.tree_map(
-                lambda a, p: a + (p - a) / (swa_n + 1), swa_params, params)
-            return params, opt_state, swa_params, loss
-
-        self._step_cache[crop_l] = step
-        return step
 
     def fit(self, train_data: np.ndarray, n_epochs=None, n_iters=None,
             verbose=False):
         assert train_data.ndim == 3
-        import optax
-        if n_iters is None and n_epochs is None:
-            n_iters = 200 if train_data.size <= 100000 else 600
-
         if self.max_train_length is not None:
             sections = train_data.shape[1] // self.max_train_length
             if sections >= 2:
@@ -248,9 +284,17 @@ class TS2Vec:
         train_data = train_data[
             ~np.isnan(train_data).all(axis=2).all(axis=1)]
 
+        if n_iters is None and n_epochs is None:
+            n_iters = 200 if train_data.size <= 100000 else 600
+
         n = train_data.shape[0]
         ts_l = train_data.shape[1]
         bs = min(self.batch_size, n)
+        per_epoch = max((n - bs) // bs + 1, 1) if n >= bs else 0
+        if n_iters is None:
+            n_iters = n_epochs * per_epoch
+        if n_iters <= 0 or per_epoch == 0:
+            return []
 
         if self.params is None:
             self.params = self.encoder.init(
@@ -258,62 +302,63 @@ class TS2Vec:
             self.swa_params = self.params
             self.opt_state = self.optimizer.init(self.params)
 
-        loss_log = []
+        # host-side draw of every iteration's rows + crop geometry, with the
+        # reference's exact sampling structure and distribution (:127-133 —
+        # NO crop-length quantization; the masked loss handles any length)
+        idx = np.empty((n_iters, bs), np.int32)
+        w1_start = np.empty((n_iters, bs), np.int32)
+        w2_start = np.empty((n_iters, bs), np.int32)
+        w1_len = np.empty((n_iters,), np.int32)
+        w2_len = np.empty((n_iters,), np.int32)
+        s1 = np.empty((n_iters,), np.int32)
+        crop_ls = np.empty((n_iters,), np.int32)
         it = 0
-        target = n_iters if n_iters is not None else 10 ** 9
-        epoch = 0
-        while it < target:
+        while it < n_iters:
             order = self.rng.permutation(n)
-            cum, cnt = 0.0, 0
             for b0 in range(0, n - bs + 1, bs):
-                if it >= target:
+                if it >= n_iters:
                     break
-                batch = train_data[order[b0:b0 + bs]]
-                # reference crop sampling (:127-133), crop_l quantized to a
-                # power of two for shape stability
+                idx[it] = order[b0:b0 + bs]
                 crop_l = int(self.rng.integers(
                     2 ** (self.temporal_unit + 1), ts_l + 1))
-                crop_l = max(2, _prev_pow2(crop_l))
                 crop_left = int(self.rng.integers(ts_l - crop_l + 1))
                 crop_right = crop_left + crop_l
                 crop_eleft = int(self.rng.integers(crop_left + 1))
                 crop_eright = int(self.rng.integers(crop_right, ts_l + 1))
                 offsets = self.rng.integers(-crop_eleft,
                                             ts_l - crop_eright + 1, size=bs)
-                w1, s1 = _window(batch, offsets + crop_eleft,
-                                 crop_right - crop_eleft, ts_l)
-                # overlap is the LAST crop_l of window1
-                s1 = s1 + (crop_right - crop_eleft) - crop_l
-                w2, s2 = _window(batch, offsets + crop_left,
-                                 crop_eright - crop_left, ts_l)
-                # overlap is the FIRST crop_l of window2 (s2 already 0-based)
-
-                step = self._make_step(crop_l)
-                self._jkey, sub = jax.random.split(self._jkey)
-                self.params, self.opt_state, self.swa_params, loss = step(
-                    self.params, self.opt_state, self.swa_params,
-                    jnp.asarray(self.swa_n, jnp.float32), sub, w1, w2,
-                    jnp.asarray(s1, jnp.int32), jnp.asarray(s2, jnp.int32))
-                self.swa_n += 1
-                cum += float(loss)
-                cnt += 1
+                w1_start[it] = offsets + crop_eleft
+                w1_len[it] = crop_right - crop_eleft
+                # overlap = LAST crop_l of window1, FIRST crop_l of window2
+                s1[it] = (crop_right - crop_eleft) - crop_l
+                w2_start[it] = offsets + crop_left
+                w2_len[it] = crop_eright - crop_left
+                crop_ls[it] = crop_l
                 it += 1
-                self.n_iters += 1
-            if cnt:
-                loss_log.append(cum / cnt)
-                if verbose:
-                    print(f"Epoch #{epoch}: loss={cum / cnt}")
-            epoch += 1
-            if n_epochs is not None and epoch >= n_epochs:
-                break
+
+        self._jkey, sub = jax.random.split(self._jkey)
+        keys = jax.random.split(sub, n_iters)
+        (self.params, self.opt_state, self.swa_params), losses = _fit_scan(
+            self.encoder, float(self.lr), int(self.temporal_unit),
+            self.params, self.opt_state, self.swa_params,
+            jnp.asarray(self.swa_n, jnp.float32),
+            jnp.asarray(train_data), jnp.asarray(idx),
+            jnp.asarray(w1_start), jnp.asarray(w1_len), jnp.asarray(s1),
+            jnp.asarray(w2_start), jnp.asarray(w2_len),
+            jnp.asarray(crop_ls), keys)
+        losses = np.asarray(losses)
+        self.swa_n += n_iters
+        self.n_iters += n_iters
+
+        loss_log = []
+        for e0 in range(0, n_iters, per_epoch):
+            chunk = losses[e0:e0 + per_epoch]
+            loss_log.append(float(chunk.mean()))
+            if verbose:
+                print(f"Epoch #{e0 // per_epoch}: loss={loss_log[-1]}")
         return loss_log
 
     # -- inference ---------------------------------------------------------
-
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _encode_full_series(self, params, x):
-        out = self.encoder.apply(params, x, train=False)
-        return out.max(axis=1)                      # full-series max pool
 
     def encode(self, data: np.ndarray, mask=None, encoding_window=None,
                batch_size=None) -> np.ndarray:
@@ -324,8 +369,8 @@ class TS2Vec:
         for b0 in range(0, data.shape[0], bs):
             x = jnp.asarray(data[b0:b0 + bs], jnp.float32)
             if encoding_window == "full_series":
-                outs.append(np.asarray(self._encode_full_series(
-                    self.swa_params, x)))
+                outs.append(np.asarray(_encode_full_series_jit(
+                    self.encoder, self.swa_params, x)))
             else:
                 outs.append(np.asarray(self.encoder.apply(
                     self.swa_params, x, train=False)))
@@ -342,16 +387,62 @@ class TS2Vec:
             self.swa_params = pickle.load(f)
 
 
-def _window(batch: np.ndarray, starts: np.ndarray, length: int, ts_l: int):
-    """Materialize per-row windows [start, start+length) as fixed-length
-    (ts_l) NaN-padded arrays; returns (windows, overlap_base) where
-    overlap_base is 0 (content is left-aligned)."""
-    B, T, D = batch.shape
-    out = np.full((B, ts_l, D), np.nan, np.float32)
-    for i, s in enumerate(starts):
-        s = int(s)
-        out[i, :length] = batch[i, s:s + length]
-    return jnp.asarray(out), np.zeros(B, np.int64)
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _fit_scan(encoder, lr, temporal_unit, params, opt_state, swa_params,
+              swa_n0, data, idx, w1_start, w1_len, s1, w2_start, w2_len,
+              crop_ls, keys):
+    """The whole TS2Vec fit as one lax.scan: per iteration, gather the
+    batch rows, realise both augmented windows as roll+NaN-mask (left-
+    aligned, same values the reference's take_per_row materializes,
+    :127-141), run the two encoder passes, take the masked hierarchical
+    loss on the traced-length overlap, and apply AdamW + SWA. Static args
+    are hashable (flax module config + floats), so repeated fits with the
+    same geometry — e.g. the 10 C-FID evals of a multi-run experiment —
+    reuse one compiled program."""
+    import optax
+    opt = optax.adamw(lr)
+    ts_l = data.shape[1]
+    pos = jnp.arange(ts_l)
+
+    def window(rows, starts, length):
+        rolled = jax.vmap(lambda x, s: jnp.roll(x, -s, axis=0))(rows, starts)
+        return jnp.where((pos < length)[None, :, None], rolled, jnp.nan)
+
+    def body(carry, xs):
+        params, opt_state, swa_params, swa_n = carry
+        idx_t, w1s, w1l, s1_t, w2s, w2l, crop_l, key = xs
+        rows = data[idx_t]
+        w1 = window(rows, w1s, w1l)
+        w2 = window(rows, w2s, w2l)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+
+        def loss_fn(p):
+            o1 = encoder.apply(p, w1, train=True, mask_rng=k1,
+                               dropout_rng=k2)
+            o2 = encoder.apply(p, w2, train=True, mask_rng=k3,
+                               dropout_rng=k4)
+            c1 = jnp.roll(o1, -s1_t, axis=1)   # overlap = LAST crop_l of w1
+            c2 = o2                            # overlap = FIRST crop_l of w2
+            return hierarchical_contrastive_loss_masked(
+                c1, c2, crop_l, temporal_unit=temporal_unit)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        swa_params = jax.tree_util.tree_map(
+            lambda a, p: a + (p - a) / (swa_n + 1.0), swa_params, params)
+        return (params, opt_state, swa_params, swa_n + 1.0), loss
+
+    (params, opt_state, swa_params, _), losses = lax.scan(
+        body, (params, opt_state, swa_params, swa_n0),
+        (idx, w1_start, w1_len, s1, w2_start, w2_len, crop_ls, keys))
+    return (params, opt_state, swa_params), losses
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _encode_full_series_jit(encoder, params, x):
+    out = encoder.apply(params, x, train=False)
+    return out.max(axis=1)                      # full-series max pool
 
 
 def initialize_ts2vec(X_train: np.ndarray, device=None) -> TS2Vec:

@@ -118,3 +118,51 @@ def test_ts2vec_save_load(tmp_path):
     m2.load(fn)
     r2 = m2.encode(data, encoding_window="full_series")
     np.testing.assert_allclose(r1, r2, rtol=1e-5)
+
+
+@pytest.mark.parametrize("crop_l", [2, 3, 5, 6, 7, 8, 13, 24])
+def test_masked_hierarchical_loss_equals_exact(crop_l):
+    """The masked loss (traced crop length, fixed T_max buffer) must equal
+    the exact-shape loss for EVERY crop length — this is what lets the
+    single-program fit use the reference's exact (un-quantized) crop
+    distribution (reference evaluate/ts2vec.py:127-141,452-468)."""
+    from t2ms_tpu.evaluate.ts2vec import hierarchical_contrastive_loss_masked
+    rng = np.random.default_rng(crop_l)
+    T_max = 24
+    z1 = rng.standard_normal((4, T_max, 8)).astype(np.float32)
+    z2 = rng.standard_normal((4, T_max, 8)).astype(np.float32)
+    # garbage beyond crop_l must not influence the result
+    z1[:, crop_l:] = 1e6
+    z2[:, crop_l:] = -1e6
+    want = float(hierarchical_contrastive_loss(
+        jnp.asarray(z1[:, :crop_l]), jnp.asarray(z2[:, :crop_l])))
+    got = float(jax.jit(hierarchical_contrastive_loss_masked)(
+        jnp.asarray(z1), jnp.asarray(z2), jnp.asarray(crop_l)))
+    assert got == pytest.approx(want, rel=1e-4, abs=1e-5)
+
+
+def test_masked_hierarchical_loss_gradients_finite():
+    from t2ms_tpu.evaluate.ts2vec import hierarchical_contrastive_loss_masked
+    rng = np.random.default_rng(0)
+    z1 = jnp.asarray(rng.standard_normal((2, 16, 4)), jnp.float32)
+    z2 = jnp.asarray(rng.standard_normal((2, 16, 4)), jnp.float32)
+    g = jax.grad(lambda a: hierarchical_contrastive_loss_masked(
+        a, z2, jnp.asarray(5)))(z1)
+    assert np.isfinite(np.asarray(g)).all()
+    # positions beyond the crop must receive zero gradient
+    assert np.abs(np.asarray(g)[:, 5:]).max() == 0.0
+
+
+def test_fit_is_single_program_and_incremental():
+    """fit twice: params advance, loss log has the right epoch count."""
+    rng = np.random.default_rng(9)
+    data = rng.standard_normal((16, 16, 1)).astype(np.float32)
+    m = TS2Vec(input_dims=1, output_dims=8, hidden_dims=8, depth=2,
+               batch_size=8, seed=3)
+    log1 = m.fit(data, n_iters=4)
+    p1 = jax.tree_util.tree_leaves(m.params)[0].copy()
+    assert m.swa_n == 4 and len(log1) == 2    # 2 batches/epoch
+    log2 = m.fit(data, n_iters=2)
+    assert m.swa_n == 6 and len(log2) == 1
+    p2 = jax.tree_util.tree_leaves(m.params)[0]
+    assert not np.allclose(np.asarray(p1), np.asarray(p2))
