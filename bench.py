@@ -83,6 +83,48 @@ def main():
         time.sleep(30)
         series_per_sec = timed_runs()
 
+    # secondary metrics in the same line (driver format keeps the four
+    # required keys; extras ride along): train throughput + p50 latency
+    extra = {}
+    try:
+        import optax
+
+        from t2ms_tpu.training.trainer import (TrainState,
+                                               make_denoiser_train_step)
+        Bt = 1024
+        xt = jax.random.normal(jax.random.key(7), (Bt, out_len))
+        et = jax.random.normal(jax.random.key(8), (Bt, 128))
+        opt = optax.adamw(1e-4)
+        st = TrainState(d_params, opt.init(d_params),
+                        jnp.zeros((), jnp.int32))
+        tstep = make_denoiser_train_step(dit, vae, opt, "flowmatching", 100,
+                                         donate=False)
+        st, loss = tstep(st, vae_params, jax.random.key(9), xt, et)
+        np.asarray(loss)
+        n_tr = 8
+        t0 = time.perf_counter()
+        for i in range(n_tr):
+            st, loss = tstep(st, vae_params, jax.random.key(10 + i), xt, et)
+            np.asarray(loss)
+        extra["train_steps_per_sec_b1024"] = round(
+            n_tr / (time.perf_counter() - t0), 3)
+
+        x1 = x[:1]
+        e1 = emb[:1]
+        out = sampler(d_params, vae_params, jax.random.key(30), x1, e1)
+        np.asarray(out.series)
+        lats = []
+        for i in range(15):
+            t0 = time.perf_counter()
+            out = sampler(d_params, vae_params, jax.random.key(31 + i),
+                          x1, e1)
+            np.asarray(out.series)
+            lats.append(time.perf_counter() - t0)
+        extra["p50_sample_latency_ms"] = round(
+            1e3 * float(np.percentile(lats, 50)), 1)
+    except Exception as e:  # secondary metrics must never sink the bench
+        extra["error"] = str(e)[:120]
+
     baseline = _load_baseline()
     vs = series_per_sec / baseline if baseline else float("nan")
     print(json.dumps({
@@ -90,6 +132,7 @@ def main():
         "value": round(series_per_sec, 2),
         "unit": "series/sec/chip",
         "vs_baseline": round(vs, 2) if vs == vs else None,
+        "extra": extra,
     }))
 
 

@@ -34,6 +34,13 @@ def main():
     ap.add_argument("--track", default="t2s", choices=["t2s", "motion"],
                     help="t2s: univariate latent 30x64; motion: 10-feature "
                          "multivariate conv VAE with flow_dim latent")
+    ap.add_argument("--latent_grid", type=int, default=0,
+                    help="latent length override; 0 = track default for DiT "
+                         "(30/64), reference geometry 6 for MLP (the "
+                         "reference MLP hard-codes 6 tokens, mlp.py:49-85)")
+    ap.add_argument("--f32", action="store_true",
+                    help="denoiser compute in f32 (torch-comparable) "
+                         "instead of the bf16 serving config")
     args = ap.parse_args()
 
     from t2ms_tpu.models.denoisers import DiT
@@ -72,19 +79,21 @@ def main():
         emb[np.arange(n), cls] = 1.0
         return x.astype(np.float32), emb, cls
 
+    latent_len = args.latent_grid or (
+        64 if args.track == "motion" else
+        (6 if args.denoiser == "MLP" else 30))
     if args.track == "motion":
         vae = LAVAE(in_channels=n_feat, num_residual_layers=3,
-                    latent_grid=64, exact_length_output=True)
+                    latent_grid=latent_len, exact_length_output=True)
     else:
-        vae = LAVAE(in_channels=1, latent_grid=30)
-    latent_len = 64 if args.track == "motion" else 30
+        vae = LAVAE(in_channels=1, latent_grid=latent_len)
+    cdt = jnp.float32 if args.f32 else jnp.bfloat16
     if args.denoiser == "DiT":
-        dit = DiT(latent_len=latent_len, latent_dim=64,
-                  compute_dtype=jnp.bfloat16)
+        dit = DiT(latent_len=latent_len, latent_dim=64, compute_dtype=cdt)
     else:
         from t2ms_tpu.models.denoisers import MLPDenoiser
-        dit = MLPDenoiser(feat_dim=64, latent_len=30,
-                          compute_dtype=jnp.bfloat16)
+        dit = MLPDenoiser(feat_dim=64, latent_len=latent_len,
+                          compute_dtype=cdt)
 
     # --- VAE pretrain ---
     x0, e0, _ = make_batch(0, B)

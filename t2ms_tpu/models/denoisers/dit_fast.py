@@ -1,0 +1,88 @@
+"""Serving-path DiT forward over the SAME flax param tree, with every
+transformer block executed by the fused Pallas kernel (ops/dit_block.py).
+
+This is a pure function mirroring models/denoisers/dit.DiT.__call__
+(reference transformer.py:94-204) — patchify, sinusoidal positions, time +
+text conditioning, depth x adaLN-zero blocks, final LN + un-patchify — so
+checkpoints, weight transplants and the training path are untouched; the
+CFG sampler swaps this in when the geometry qualifies. Parity with
+DiT.apply is pinned by tests/test_dit_fast.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from t2ms_tpu.models.denoisers.dit import (sinusoidal_positions,
+                                           time_embedding)
+from t2ms_tpu.ops.dit_block import fused_dit_block
+
+__all__ = ["fast_dit_forward", "fast_forward_supported"]
+
+
+def fast_forward_supported(dit) -> bool:
+    """The fused block kernel wants a lane-aligned mid-range token count
+    (same envelope as the fused-heads attention path)."""
+    pc = (dit.latent_len // dit.patch_size) * (dit.latent_dim
+                                               // dit.patch_size)
+    # up to 1024 tokens the per-head f32 scores (+ the block's activations
+    # and weights) fit one program's VMEM (~8 MB at N=1024); beyond that
+    # the flax path with flash attention takes over
+    return (128 <= pc <= 1024 and pc % 8 == 0
+            and dit.d_model % dit.num_heads == 0)
+
+
+def fast_dit_forward(dit, params, x: jnp.ndarray, t: jnp.ndarray,
+                     text_emb: Optional[jnp.ndarray] = None,
+                     text_mask: Optional[jnp.ndarray] = None,
+                     interpret: bool = False) -> jnp.ndarray:
+    p = params["params"]
+    B = x.shape[0]
+    H, W, pz = dit.latent_len, dit.latent_dim, dit.patch_size
+    nh, nw = H // pz, W // pz
+    pc = nh * nw
+    dtype = dit.compute_dtype
+
+    def dense(h, q):
+        return h @ q["kernel"].astype(dtype) + q["bias"].astype(dtype)
+
+    img = x.astype(dtype).transpose(0, 2, 1)
+    patches = img.reshape(B, nh, pz, nw, pz).transpose(0, 1, 3, 2, 4)
+    patches = patches.reshape(B, pc, pz * pz)
+    h = dense(dense(patches, p["patch_conv"]), p["patch_emb"])
+    h = h + sinusoidal_positions(pc, dit.d_model).astype(dtype)[None]
+
+    c = time_embedding(t, dit.d_model).astype(dtype)
+    if text_emb is not None:
+        te = text_emb.astype(dtype)
+        if text_mask is not None:
+            te = te * text_mask[:, None].astype(dtype)
+        c = c + te
+    silu_c = jax.nn.silu(c)
+
+    for i in range(dit.depth):
+        bp = p[f"block_{i}"]
+        mod = dense(silu_c, bp["adaLN_modulation"]).reshape(B, 6,
+                                                            dit.d_model)
+        h = fused_dit_block(
+            h, mod,
+            bp["attn"]["qkv"]["kernel"], bp["attn"]["qkv"]["bias"],
+            bp["attn"]["proj"]["kernel"], bp["attn"]["proj"]["bias"],
+            bp["mlp"]["fc1"]["kernel"], bp["mlp"]["fc1"]["bias"],
+            bp["mlp"]["fc2"]["kernel"], bp["mlp"]["fc2"]["bias"],
+            dit.num_heads, interpret=interpret)
+
+    # final LN (learned scale/bias, eps 1e-5) + linear un-patchify
+    hf = h.astype(jnp.float32)
+    mu = jnp.mean(hf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(hf - mu), axis=-1, keepdims=True)
+    hf = (hf - mu) * jax.lax.rsqrt(var + 1e-5)
+    h = (hf * p["final_ln"]["scale"].astype(jnp.float32)
+         + p["final_ln"]["bias"].astype(jnp.float32)).astype(dtype)
+    h = dense(h, p["unpatch"])                              # (B, pc, p*p)
+    out = h.reshape(B, nh, nw, pz, pz).transpose(0, 1, 3, 2, 4)
+    out = out.reshape(B, H, W).transpose(0, 2, 1)           # (B, W, H)
+    return out.astype(x.dtype)

@@ -229,11 +229,18 @@ def _fused_heads_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int,
     Softmax runs in bf16 exactly like the XLA einsum path (max-subtraction
     keeps the exps in [0,1] where bf16 is ample); the normalizing division
     is deferred past the PV matmul so it touches (N, D), not (N, N)."""
+    for h, sl, o in attn_heads_natural(q_ref[0], k_ref[0], v_ref[0],
+                                       num_heads, scale):
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+def attn_heads_natural(q_all, k_all, v_all, num_heads: int, scale: float):
+    """Per-head attention on natural (N, H*D) VALUES — the shared core of
+    the fused kernels. Yields (head, lane_slice, out_f32) so callers place
+    results in their own layout. See _fused_heads_kernel for the why of
+    each precision choice."""
     H = num_heads
-    D = q_ref.shape[-1] // H
-    q_all = q_ref[0]
-    k_all = k_ref[0]
-    v_all = v_ref[0]
+    D = q_all.shape[-1] // H
     for h in range(H):
         sl = slice(h * D, (h + 1) * D)
         q = q_all[:, sl] * jnp.asarray(scale, q_all.dtype)
@@ -248,7 +255,7 @@ def _fused_heads_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int,
         o = jax.lax.dot_general(
             e, v, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        o_ref[0, :, sl] = (o / r[:, None]).astype(o_ref.dtype)
+        yield h, sl, o / r[:, None]
 
 
 def fused_heads_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -340,11 +347,13 @@ _packed_diffable.defvjp(_packed_fwd, _flash_bwd)
 
 
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-              impl: str = "auto", flash_threshold: int = 1024,
-              packed_threshold: int = 256) -> jnp.ndarray:
-    """Dispatcher: 'einsum' | 'packed' | 'flash' | 'auto'. Auto on TPU:
-    einsum for tiny N, packed (VMEM scores) for the serving mid-range,
-    flash (online softmax) for long series; einsum on CPU. Differentiable
+              impl: str = "auto", flash_threshold: int = 1024
+              ) -> jnp.ndarray:
+    """Dispatcher on the head-split (B, H, N, D) layout: 'einsum' |
+    'packed' | 'flash' | 'auto' (flash on TPU for long N, einsum
+    otherwise — XLA's batched einsum wins the mid-range in THIS layout;
+    the serving-shape winner is the natural-layout fused_heads path the
+    DiT selects before splitting heads, see BASELINE.md). Differentiable
     everywhere via the custom-VJP wrappers."""
     if impl == "einsum":
         return einsum_attention(q, k, v)
@@ -356,6 +365,4 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu and n >= flash_threshold and _auto_block(n):
         return _flash_diffable(q, k, v)
-    if on_tpu and n >= packed_threshold:
-        return _packed_diffable(q, k, v)
     return einsum_attention(q, k, v)

@@ -39,7 +39,22 @@ class SamplerOutput(NamedTuple):
     trajectory: Optional[jnp.ndarray]  # (steps, B, ...) latents or None
 
 
-def _fused_cfg_forward(denoiser, params, x_t, t, text_emb, cfg_scale):
+def _serving_forward(denoiser):
+    """Pick the serving forward: the fused-block Pallas path for the DiT
+    on TPU when the geometry qualifies (whole transformer block per
+    program, ops/dit_block.py — same param tree), flax apply otherwise."""
+    from t2ms_tpu.models.denoisers.dit import DiT
+    if isinstance(denoiser, DiT) and jax.default_backend() not in ("cpu",):
+        from t2ms_tpu.models.denoisers.dit_fast import (
+            fast_dit_forward, fast_forward_supported)
+        if fast_forward_supported(denoiser):
+            return lambda params, x, t, e, m: fast_dit_forward(
+                denoiser, params, x, t, e, m)
+    return lambda params, x, t, e, m: denoiser.apply(params, x, t, e, m)
+
+
+def _fused_cfg_forward(denoiser, params, x_t, t, text_emb, cfg_scale,
+                       forward=None):
     """One 2B-batch forward for the CFG pair.
 
     The uncond half is selected with a per-sample ``text_mask`` of zeros
@@ -47,13 +62,15 @@ def _fused_cfg_forward(denoiser, params, x_t, t, text_emb, cfg_scale):
     (additive conditioning), but the MLP denoiser's cross-attention has
     biased key/value/proj layers, so only the mask path reproduces the
     reference's text_input=None skip (infer.py:79-88, mlp.py:77) exactly."""
+    if forward is None:
+        forward = lambda p, x, t, e, m: denoiser.apply(p, x, t, e, m)
     B = x_t.shape[0]
     x2 = jnp.concatenate([x_t, x_t], axis=0)
     t2 = jnp.concatenate([t, t], axis=0)
     e2 = jnp.concatenate([text_emb, text_emb], axis=0)
     m2 = jnp.concatenate([jnp.zeros((B,), x_t.dtype),
                           jnp.ones((B,), x_t.dtype)], axis=0)
-    pred2 = denoiser.apply(params, x2, t2, e2, m2)
+    pred2 = forward(params, x2, t2, e2, m2)
     uncond, cond = pred2[:B], pred2[B:]
     return uncond + cfg_scale * (cond - uncond)
 
@@ -78,6 +95,7 @@ def make_cfg_sampler(
         raise ValueError(f"Unsupported backbone type: {backbone}")
     sched = (ddpm_lib.make_schedule(total_step)
              if backbone == "ddpm" else None)
+    forward = _serving_forward(denoiser)
 
     @jax.jit
     def sample(params, vae_params, key, x_1, text_emb):
@@ -88,14 +106,14 @@ def make_cfg_sampler(
         def flow_step(x_t, j):
             t = jnp.full((B,), j / total_step, dtype=x_t0.dtype)
             pred = _fused_cfg_forward(denoiser, params, x_t, t, text_emb,
-                                      cfg_scale)
+                                      cfg_scale, forward)
             x_next = rf.euler(x_t, pred, 1.0 / total_step)
             return x_next, (x_next if collect_trajectory else None)
 
         def ddpm_step(x_t, j):
             t = jnp.full((B,), total_step - 1 - j, dtype=jnp.int32)
             pred = _fused_cfg_forward(denoiser, params, x_t, t, text_emb,
-                                      cfg_scale)
+                                      cfg_scale, forward)
             step_key = jax.random.fold_in(key, j)
             x_next = ddpm_lib.p_sample(sched, step_key, x_t, pred, t)
             return x_next, (x_next if collect_trajectory else None)

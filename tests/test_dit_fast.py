@@ -1,0 +1,68 @@
+"""Fused-block serving path: fast_dit_forward (Pallas whole-block kernel,
+interpret mode on CPU) must reproduce DiT.apply on the same param tree."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from t2ms_tpu.models.denoisers import DiT
+from t2ms_tpu.models.denoisers.dit_fast import (fast_dit_forward,
+                                                fast_forward_supported)
+from t2ms_tpu.ops.dit_block import dit_block_reference, fused_dit_block
+
+
+def _block_inputs(B=2, N=24, D=32, hidden=64, seed=0):
+    r = np.random.default_rng(seed)
+    f = lambda *s: jnp.asarray(r.standard_normal(s), jnp.float32)
+    return dict(x=f(B, N, D), mod=0.1 * f(B, 6, D),
+                wqkv=0.2 * f(D, 3 * D), bqkv=0.1 * f(3 * D),
+                wproj=0.2 * f(D, D), bproj=0.1 * f(D),
+                wfc1=0.2 * f(D, hidden), bfc1=0.1 * f(hidden),
+                wfc2=0.2 * f(hidden, D), bfc2=0.1 * f(D))
+
+
+def test_fused_block_matches_reference_interpret():
+    kw = _block_inputs()
+    want = dit_block_reference(num_heads=4, **kw)
+    got = fused_dit_block(num_heads=4, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fast_dit_forward_matches_flax_apply():
+    """Whole-model parity: identical param tree, reference T2S geometry."""
+    dit = DiT(latent_len=30, latent_dim=64)
+    assert fast_forward_supported(dit)
+    B = 2
+    x = jax.random.normal(jax.random.key(0), (B, 64, 30))
+    t = jnp.array([0.25, 0.75])
+    emb = jax.random.normal(jax.random.key(1), (B, 128))
+    params = dit.init(jax.random.key(2), x, t, emb)
+    # adaLN starts at zeros (adaLN-zero) -> perturb so the blocks act
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jax.random.normal(jax.random.key(3), p.shape),
+        params)
+    mask = jnp.array([0.0, 1.0])
+    want = dit.apply(params, x, t, emb, mask)
+    got = fast_dit_forward(dit, params, x, t, emb, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_fast_dit_forward_no_text():
+    dit = DiT(latent_len=30, latent_dim=64)
+    x = jax.random.normal(jax.random.key(4), (2, 64, 30))
+    t = jnp.array([0.1, 0.9])
+    params = dit.init(jax.random.key(5), x, t,
+                      jnp.zeros((2, 128)))
+    want = dit.apply(params, x, t)
+    got = fast_dit_forward(dit, params, x, t, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_fast_forward_supported_envelope():
+    assert fast_forward_supported(DiT(latent_len=30, latent_dim=64))
+    assert fast_forward_supported(DiT(latent_len=64, latent_dim=64))
+    assert not fast_forward_supported(DiT(latent_len=6, latent_dim=8))
