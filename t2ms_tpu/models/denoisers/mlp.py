@@ -30,6 +30,25 @@ def _xavier():
     return nn.initializers.xavier_uniform()
 
 
+def _torch_linear(fan_in: int):
+    """torch nn.Linear default init (reference mlp.py uses plain Linears
+    with NO custom init): kernel kaiming_uniform(a=sqrt(5)) ==
+    U(+-sqrt(1/fan_in)), bias U(+-1/sqrt(fan_in)). Flax's lecun_normal +
+    zero bias starts the same forward math at a different point —
+    measurably slower training on this architecture (BASELINE.md round-2
+    MLP gate section) — so from-scratch dynamics match torch only with
+    these bounds. Transplant parity tests are init-independent."""
+    bound = fan_in ** -0.5
+
+    def bias(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return dict(
+        kernel_init=nn.initializers.variance_scaling(
+            1.0 / 3.0, "fan_in", "uniform"),
+        bias_init=bias)
+
+
 class _TextCrossAttention(nn.Module):
     """Cross-attention from series tokens to text tokens
     (reference mlp.py:21-47)."""
@@ -44,9 +63,12 @@ class _TextCrossAttention(nn.Module):
         T_E = encoder_output.shape[1]
         C, h = self.n_embd, self.n_head
         hd = C // h
-        k = nn.Dense(C, dtype=self.compute_dtype, name="key")(encoder_output)
-        q = nn.Dense(C, dtype=self.compute_dtype, name="query")(x)
-        v = nn.Dense(C, dtype=self.compute_dtype, name="value")(encoder_output)
+        k = nn.Dense(C, dtype=self.compute_dtype, name="key",
+                     **_torch_linear(self.condition_dim))(encoder_output)
+        q = nn.Dense(C, dtype=self.compute_dtype, name="query",
+                     **_torch_linear(C))(x)
+        v = nn.Dense(C, dtype=self.compute_dtype, name="value",
+                     **_torch_linear(self.condition_dim))(encoder_output)
         q = q.reshape(B, T, h, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, T_E, h, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, T_E, h, hd).transpose(0, 2, 1, 3)
@@ -55,7 +77,8 @@ class _TextCrossAttention(nn.Module):
             self.compute_dtype)
         y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
         y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
-        return nn.Dense(C, dtype=self.compute_dtype, name="proj")(y)
+        return nn.Dense(C, dtype=self.compute_dtype, name="proj",
+                        **_torch_linear(C))(y)
 
 
 class _MLPLayer(nn.Module):
@@ -88,14 +111,18 @@ class _MLPLayer(nn.Module):
                 attn = attn * text_mask[:, None, None].astype(dtype)
             h = h + attn
         h = nn.LayerNorm(dtype=dtype, name="norm")(h)
-        m = nn.Dense(self.hidden, dtype=dtype, name="mlp_fc1")(h)
+        m = nn.Dense(self.hidden, dtype=dtype, name="mlp_fc1",
+                     **_torch_linear(self.feat_dim))(h)
         m = nn.relu(m)
-        m = nn.Dense(self.feat_dim, dtype=dtype, name="mlp_fc2")(m)
+        m = nn.Dense(self.feat_dim, dtype=dtype, name="mlp_fc2",
+                     **_torch_linear(self.hidden))(m)
         h = h + m
         h = h.transpose(0, 2, 1)                       # (B, feat, L)
-        m2 = nn.Dense(self.hidden, dtype=dtype, name="mlp2_fc1")(h)
+        m2 = nn.Dense(self.hidden, dtype=dtype, name="mlp2_fc1",
+                      **_torch_linear(self.latent_len))(h)
         m2 = nn.relu(m2)
-        return nn.Dense(self.latent_len, dtype=dtype, name="mlp2_fc2")(m2)
+        return nn.Dense(self.latent_len, dtype=dtype, name="mlp2_fc2",
+                        **_torch_linear(self.hidden))(m2)
 
 
 class MLPDenoiser(nn.Module):
