@@ -22,7 +22,7 @@ from jax.experimental import pallas as pl
 
 __all__ = ["attention", "einsum_attention", "flash_attention",
            "packed_attention", "fused_heads_attention",
-           "fused_heads_diffable"]
+           "fused_heads_diffable", "fused_heads_attention_bwd"]
 
 
 def einsum_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -291,10 +291,84 @@ def _einsum_natural(q, k, v, num_heads, scale=None):
     return y.transpose(0, 2, 1, 3).reshape(B, N, HD)
 
 
+def _fused_heads_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
+                            dv_ref, *, num_heads: int, scale: float):
+    """Backward of the fused-heads forward, one program per batch element:
+    recompute the probabilities in VMEM (exactly the forward's bf16-exp /
+    deferred-normalization recipe) and form dq/dk/dv with the standard
+    softmax VJP — ds = p * (dp - rowsum(dp * p)) — without the (N, N)
+    tensors ever touching HBM.
+
+    Why (train-step profile 2026-08-16, B=1024): the eager-recompute VJP
+    dominated training — the XLA backward materializes the (B, H, N, N)
+    probability/gradient tensors in HBM several times per layer
+    (2x 5.7 ms transpose-matmul fusions + 5.3 ms softmax-backward
+    reduction + the forward recompute, vs 3.7 ms for the whole fused
+    forward). 5 NxND matmuls per head, everything VMEM-resident."""
+    H = num_heads
+    q_all, k_all, v_all, g_all = q_ref[0], k_ref[0], v_ref[0], g_ref[0]
+    D = q_all.shape[-1] // H
+    dt = q_all.dtype
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        q = q_all[:, sl]
+        k = k_all[:, sl]
+        v = v_all[:, sl]
+        g = g_all[:, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(                        # (N, N) f32
+            q * jnp.asarray(scale, dt), k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp((s - m).astype(dt))                 # forward's bf16 exp
+        r = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+        p = e.astype(jnp.float32) / r                   # (N, N) probs
+        # dv_h = p^T @ g
+        dv = jax.lax.dot_general(
+            p.astype(dt), g.astype(dt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # dp = g @ v^T
+        dp = jax.lax.dot_general(
+            g.astype(dt), v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        t = jnp.sum(dp * p, axis=-1, keepdims=True)     # (N, 1) f32
+        ds = (p * (dp - t)).astype(dt)                  # (N, N)
+        dq = jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def fused_heads_attention_bwd(q, k, v, g, num_heads: int,
+                              scale: Optional[float] = None,
+                              interpret: bool = False):
+    """Pallas backward pass for the natural-layout attention: inputs and
+    upstream gradient g all (B, N, H*D); returns (dq, dk, dv)."""
+    B, N, HD = q.shape
+    if scale is None:
+        scale = (HD // num_heads) ** -0.5
+    spec = pl.BlockSpec((1, N, HD), lambda b: (b, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_fused_heads_bwd_kernel, num_heads=num_heads,
+                          scale=scale),
+        out_shape=[jax.ShapeDtypeStruct((B, N, HD), q.dtype)] * 3,
+        grid=(B,),
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 3,
+        interpret=interpret,
+    )(q, k, v, g)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_heads_diffable(q, k, v, num_heads):
-    """fused_heads_attention with an eager-recompute backward: serving
-    never differentiates; training recomputes attention for the VJP."""
+    """fused_heads_attention with a Pallas VMEM backward (geometry
+    permitting; eager-recompute fallback otherwise)."""
     return fused_heads_attention(q, k, v, num_heads)
 
 
@@ -304,6 +378,12 @@ def _fused_heads_fwd(q, k, v, num_heads):
 
 def _fused_heads_bwd(num_heads, res, g):
     q, k, v = res
+    n = q.shape[1]
+    # same VMEM envelope as the forward kernel; beyond it (or off-TPU)
+    # fall back to the eager einsum recompute
+    if jax.default_backend() not in ("cpu",) and 128 <= n <= 1024 \
+            and n % 8 == 0:
+        return fused_heads_attention_bwd(q, k, v, g, num_heads)
     _, vjp = jax.vjp(
         lambda a, b, c: _einsum_natural(a, b, c, num_heads), q, k, v)
     return vjp(g)

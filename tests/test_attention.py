@@ -229,3 +229,20 @@ def test_dit_with_fused_impl_matches_einsum():
         A.fused_heads_attention = orig
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e),
                                rtol=5e-4, atol=5e-5)
+
+
+def test_fused_heads_pallas_bwd_matches_eager_vjp():
+    """The Pallas backward kernel (interpret mode) must reproduce the
+    eager einsum VJP for dq, dk AND dv."""
+    from t2ms_tpu.ops.attention import (_einsum_natural,
+                                        fused_heads_attention_bwd)
+    ks = jax.random.split(jax.random.key(21), 4)
+    q, k, v = (jax.random.normal(kk, (2, 96, 128)) for kk in ks[:3])
+    g = jax.random.normal(ks[3], (2, 96, 128))
+    _, vjp = jax.vjp(lambda a, b, c: _einsum_natural(a, b, c, 4), q, k, v)
+    want = vjp(g)
+    got = fused_heads_attention_bwd(q, k, v, g, 4, interpret=True)
+    for got_i, want_i, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(got_i), np.asarray(want_i), rtol=1e-3, atol=1e-4,
+            err_msg=f"d{name} mismatch")
