@@ -25,14 +25,22 @@ __all__ = ["fast_dit_forward", "fast_forward_supported"]
 
 def fast_forward_supported(dit) -> bool:
     """The fused block kernel wants a lane-aligned mid-range token count
-    (same envelope as the fused-heads attention path)."""
+    AND a per-program working set that fits VMEM (~16 MB/core): weights +
+    activations + one head's f32 scores. The reference-scale DiT (d=128,
+    480-1024 tokens) uses ~5 MB; a scaled d=512 DiT would blow the budget
+    and must take the flax path (flash attention beyond 1024 tokens)."""
     pc = (dit.latent_len // dit.patch_size) * (dit.latent_dim
                                                // dit.patch_size)
-    # up to 1024 tokens the per-head f32 scores (+ the block's activations
-    # and weights) fit one program's VMEM (~8 MB at N=1024); beyond that
-    # the flax path with flash attention takes over
-    return (128 <= pc <= 1024 and pc % 8 == 0
-            and dit.d_model % dit.num_heads == 0)
+    if not (128 <= pc <= 1024 and pc % 8 == 0
+            and dit.d_model % dit.num_heads == 0):
+        return False
+    D = dit.d_model
+    hidden = int(D * dit.mlp_ratio)
+    bpe = jnp.dtype(dit.compute_dtype).itemsize
+    weights = (D * 3 * D + D * D + D * hidden + hidden * D) * bpe
+    acts = (pc * D * 4 + pc * 3 * D + pc * hidden) * bpe   # x,y,attn,res + qkv + h1
+    scores = pc * pc * 4 * 2            # one head's f32 scores + exp copy
+    return weights + acts + scores < 12 * 2 ** 20   # head-room under 16 MB
 
 
 def fast_dit_forward(dit, params, x: jnp.ndarray, t: jnp.ndarray,

@@ -64,5 +64,11 @@ def test_fast_dit_forward_no_text():
 
 def test_fast_forward_supported_envelope():
     assert fast_forward_supported(DiT(latent_len=30, latent_dim=64))
-    assert fast_forward_supported(DiT(latent_len=64, latent_dim=64))
+    # 1024 tokens fit in bf16 (the serving config) but not in f32
+    assert fast_forward_supported(
+        DiT(latent_len=64, latent_dim=64, compute_dtype=jnp.bfloat16))
     assert not fast_forward_supported(DiT(latent_len=6, latent_dim=8))
+    # a scaled DiT must fall back to the flax path (VMEM budget)
+    assert not fast_forward_supported(
+        DiT(latent_len=64, latent_dim=64, d_model=512, depth=12,
+            num_heads=8, mlp_ratio=4.0, compute_dtype=jnp.bfloat16))
