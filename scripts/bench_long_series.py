@@ -1,0 +1,80 @@
+"""Long-series serving bench: SUSHI-length (2048) generation through the
+flash-attention regime.
+
+The reference handles long series by resampling to a fixed 30x64 latent
+(vqvae.py:70); its longest realized sequence is SUSHI len-2048
+(evaluation.py:282). The TPU-native long-series MODE instead scales the
+latent grid itself (SURVEY.md §5 long-context row): here latent_len=256
+-> (256/2)x(64/2) = 4096 patch tokens, beyond the fused-block envelope,
+so the sampler runs the flax path and the attention dispatcher picks the
+Pallas flash kernel (online softmax, O(block) memory) — the einsum path
+at this scale materializes a (B, 4, 4096, 4096) score tensor per layer.
+
+Prints one JSON line per config: flash (auto) vs einsum at the same
+geometry, series/sec and per-step latency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run(attention_impl: str, B: int, steps: int, out_len: int,
+        latent_len: int):
+    from t2ms_tpu.models.denoisers import DiT
+    from t2ms_tpu.models.vae import LAVAE
+    from t2ms_tpu.sampling import make_cfg_sampler
+
+    dit = DiT(latent_len=latent_len, latent_dim=64,
+              compute_dtype=jnp.bfloat16, attention_impl=attention_impl)
+    vae = LAVAE(in_channels=1, latent_grid=latent_len)
+    x = jax.random.normal(jax.random.key(0), (B, out_len))
+    emb = jax.random.normal(jax.random.key(1), (B, 128))
+    vp = vae.init(jax.random.key(2), x)
+    z, _ = vae.apply(vp, x, method=vae.encode)
+    dp = dit.init(jax.random.key(3), z, jnp.zeros(B), emb)
+    sampler = make_cfg_sampler(dit, vae, "flowmatching", total_step=steps,
+                               cfg_scale=7.0, out_length=out_len)
+    out = sampler(dp, vp, jax.random.key(4), x, emb)
+    np.asarray(out.series)          # sync through the tunnel
+    runs = 3
+    t0 = time.perf_counter()
+    for i in range(runs):
+        out = sampler(dp, vp, jax.random.key(5 + i), x, emb)
+        np.asarray(out.series)
+    dt = (time.perf_counter() - t0) / runs
+    return {
+        "metric": f"long_series_sampling_{attention_impl}",
+        "series_per_sec": round(B * runs / (dt * runs), 3),
+        "ms_per_denoise_step": round(1e3 * dt / steps, 3),
+        "out_len": out_len, "tokens": (latent_len // 2) * 32, "batch": B,
+        "steps": steps,
+    }
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--out_len", type=int, default=2048)
+    ap.add_argument("--latent_len", type=int, default=256)
+    ap.add_argument("--impls", default="auto,einsum")
+    args = ap.parse_args()
+    for impl in args.impls.split(","):
+        res = run(impl, args.batch, args.steps, args.out_len,
+                  args.latent_len)
+        print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

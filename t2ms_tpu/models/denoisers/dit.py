@@ -87,9 +87,14 @@ class _Attention(nn.Module):
         qkv = nn.Dense(3 * D, kernel_init=_xavier(), dtype=self.compute_dtype,
                        name="qkv")(x)
         impl = self.attention_impl
-        if impl == "auto" and _jax.default_backend() not in ("cpu",) \
-                and 128 <= N < 1024 and N % 8 == 0:
-            impl = "fused"
+        if impl == "auto" and _jax.default_backend() not in ("cpu",):
+            from t2ms_tpu.ops.attention import fused_heads_block_q
+            bpe = jnp.dtype(self.compute_dtype).itemsize
+            if fused_heads_block_q(N, D, bpe):
+                # covers both the serving mid-range (whole-row scores in
+                # VMEM) and the long-series regime (blocked q vs full
+                # VMEM K/V, exact softmax) — see fused_heads_attention
+                impl = "fused"
         if impl == "fused":
             # serving-shape path: the qkv projection's feature order is
             # already [q|k|v] x [head-major], so head h of q is the lane

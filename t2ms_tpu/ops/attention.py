@@ -258,23 +258,62 @@ def attn_heads_natural(q_all, k_all, v_all, num_heads: int, scale: float):
         yield h, sl, o / r[:, None]
 
 
+def fused_heads_block_q(n: int, hd: int, bpe: int = 2,
+                        budget: int = 10 * 2 ** 20) -> int:
+    """Largest q-block (multiple of 128, divisor of n; or n itself when
+    short) whose per-head working set — f32 score block + its exp copy +
+    full K/V rows — fits the VMEM budget. 0 = geometry unsupported (fall
+    back to flash/einsum)."""
+    if n % 8 != 0 or n < 128:
+        return 0
+
+    def fits(bq):
+        return (bq * n * 4 + bq * n * bpe + 2 * n * hd * bpe
+                + 3 * bq * hd * bpe) < budget
+
+    if n <= 1024 and fits(n):
+        return n
+    for bq in (1024, 512, 384, 256, 128):
+        if n % bq == 0 and fits(bq):
+            return bq
+    return 0
+
+
 def fused_heads_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           num_heads: int, scale: Optional[float] = None,
+                          block_q: Optional[int] = None,
                           interpret: bool = False) -> jnp.ndarray:
     """Head-packed VMEM attention on the natural (B, N, H*D) layout —
     the serving-shape path (see _fused_heads_kernel). No head split/merge
-    transposes, no HBM score traffic."""
+    transposes, no HBM score traffic.
+
+    For long series (N beyond what one program's VMEM holds as a full
+    (N, N) score matrix) q is processed in blocks against FULL K/V rows
+    resident in VMEM — softmax stays EXACT (each program sees whole score
+    rows), unlike online-softmax flash. At the DiT's d=32 head geometry
+    this beats both einsum (which round-trips the (B,H,N,N) scores
+    through HBM) and the per-(batch,head) flash kernel (which re-loads
+    K/V per q-block program and pays f32 online rescaling): measured
+    67.8 -> 31 ms/step vs einsum at 4096 tokens (BASELINE.md)."""
     B, N, HD = q.shape
     D = HD // num_heads
     if scale is None:
         scale = D ** -0.5
+    if block_q is None:
+        block_q = fused_heads_block_q(N, HD, jnp.dtype(q.dtype).itemsize)
+        if not block_q:
+            block_q = N
     return pl.pallas_call(
         functools.partial(_fused_heads_kernel, num_heads=num_heads,
                           scale=scale),
         out_shape=jax.ShapeDtypeStruct((B, N, HD), q.dtype),
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, N, HD), lambda b: (b, 0, 0))] * 3,
-        out_specs=pl.BlockSpec((1, N, HD), lambda b: (b, 0, 0)),
+        grid=(B, N // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, HD), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, N, HD), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, N, HD), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, HD), lambda b, i: (b, i, 0)),
         interpret=interpret,
     )(q, k, v)
 

@@ -246,3 +246,26 @@ def test_fused_heads_pallas_bwd_matches_eager_vjp():
         np.testing.assert_allclose(
             np.asarray(got_i), np.asarray(want_i), rtol=1e-3, atol=1e-4,
             err_msg=f"d{name} mismatch")
+
+
+def test_fused_heads_blocked_q_matches_einsum():
+    """Long-series regime: q processed in blocks against full VMEM K/V
+    must equal whole-row fused heads / einsum (softmax stays exact)."""
+    from t2ms_tpu.ops.attention import (_einsum_natural,
+                                        fused_heads_attention)
+    ks = jax.random.split(jax.random.key(30), 3)
+    q, k, v = (jax.random.normal(kk, (2, 96, 64)) for kk in ks)
+    want = _einsum_natural(q, k, v, 2)
+    got = fused_heads_attention(q, k, v, 2, block_q=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_heads_block_q_envelope():
+    from t2ms_tpu.ops.attention import fused_heads_block_q
+    assert fused_heads_block_q(480, 128) == 480      # whole-row serving
+    assert fused_heads_block_q(1024, 128, 2) == 1024
+    bq = fused_heads_block_q(4096, 128, 2)           # long-series: blocked
+    assert bq and bq < 4096 and 4096 % bq == 0
+    assert fused_heads_block_q(100, 128) == 0        # not lane-aligned
+    assert fused_heads_block_q(64, 128) == 0         # too short
