@@ -384,18 +384,100 @@ def _fused_heads_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
         dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
 
 
+def _fused_heads_bwd_blocked_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref,
+                                    dk_ref, dv_ref, *, num_heads: int,
+                                    scale: float, block_q: int):
+    """Blocked variant of the backward for the long-series regime: one
+    program per batch element; per head, q/g are walked in blocks against
+    full VMEM K/V rows (softmax rows recomputed exactly, as in the
+    blocked forward) while dk/dv accumulate in f32 carries. Only the
+    (block_q, N) score tiles are ever live — no (N, N) buffer."""
+    H = num_heads
+    N = q_ref.shape[1]
+    D = q_ref.shape[-1] // H
+    dt = q_ref.dtype
+    nb = N // block_q
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+
+        def body(blk, carry):
+            dk_acc, dv_acc = carry
+            rows = pl.ds(blk * block_q, block_q)
+            q = q_ref[0, rows, sl]
+            g = g_ref[0, rows, sl].astype(dt)
+            s = jax.lax.dot_general(
+                q * jnp.asarray(scale, dt), k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (bq, N)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp((s - m).astype(dt))
+            r = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+            p = e.astype(jnp.float32) / r
+            dv_acc = dv_acc + jax.lax.dot_general(
+                p.astype(dt), g,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            t = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds = (p * (dp - t)).astype(dt)
+            dq = jax.lax.dot_general(
+                ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dq_ref[0, rows, sl] = dq.astype(dq_ref.dtype)
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            return dk_acc, dv_acc
+
+        zero = jnp.zeros((N, D), jnp.float32)
+        dk_acc, dv_acc = jax.lax.fori_loop(0, nb, body, (zero, zero))
+        dk_ref[0, :, sl] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv_acc.astype(dv_ref.dtype)
+
+
+def _bwd_block_q(n: int, hd: int, bpe: int = 2) -> int:
+    """q-block for the Pallas backward. The whole-row kernel's live set is
+    ~18 B per score element (s/p/dp f32 + e/ds compute-dtype + slack —
+    MEASURED: 18.77 MB at N=1024, a VMEM OOM against the 16 MB scoped
+    limit), so whole-row only below that; otherwise the largest blocked-q
+    whose ~16 B/elem tiles + f32 dk/dv accumulators fit."""
+    if n % 8 != 0 or n < 128:
+        return 0
+    budget = 14 * 2 ** 20
+    if n * n * 18 + 2 * n * hd * (bpe + 4) < budget:
+        return n
+    for bq in (512, 384, 256, 128):
+        if n % bq == 0 and bq * n * 16 + n * hd * (8 + 3 * bpe) < budget:
+            return bq
+    return 0
+
+
 def fused_heads_attention_bwd(q, k, v, g, num_heads: int,
                               scale: Optional[float] = None,
+                              block_q: Optional[int] = None,
                               interpret: bool = False):
     """Pallas backward pass for the natural-layout attention: inputs and
-    upstream gradient g all (B, N, H*D); returns (dq, dk, dv)."""
+    upstream gradient g all (B, N, H*D); returns (dq, dk, dv). N beyond
+    the whole-row VMEM envelope runs the blocked kernel."""
     B, N, HD = q.shape
     if scale is None:
         scale = (HD // num_heads) ** -0.5
     spec = pl.BlockSpec((1, N, HD), lambda b: (b, 0, 0))
+    if block_q is None:
+        block_q = _bwd_block_q(N, HD, jnp.dtype(q.dtype).itemsize) or N
+    if block_q == N:
+        kernel = functools.partial(_fused_heads_bwd_kernel,
+                                   num_heads=num_heads, scale=scale)
+    else:
+        kernel = functools.partial(_fused_heads_bwd_blocked_kernel,
+                                   num_heads=num_heads, scale=scale,
+                                   block_q=block_q)
     return pl.pallas_call(
-        functools.partial(_fused_heads_bwd_kernel, num_heads=num_heads,
-                          scale=scale),
+        kernel,
         out_shape=[jax.ShapeDtypeStruct((B, N, HD), q.dtype)] * 3,
         grid=(B,),
         in_specs=[spec] * 4,
@@ -418,10 +500,12 @@ def _fused_heads_fwd(q, k, v, num_heads):
 def _fused_heads_bwd(num_heads, res, g):
     q, k, v = res
     n = q.shape[1]
-    # same VMEM envelope as the forward kernel; beyond it (or off-TPU)
-    # fall back to the eager einsum recompute
-    if jax.default_backend() not in ("cpu",) and 128 <= n <= 1024 \
-            and n % 8 == 0:
+    bpe = jnp.dtype(q.dtype).itemsize
+    # whole-row kernel while the (n, n) live set fits VMEM, blocked
+    # kernel beyond; off-TPU (or geometry with no fitting block) falls
+    # back to the eager einsum recompute
+    if jax.default_backend() not in ("cpu",) \
+            and _bwd_block_q(n, q.shape[-1], bpe):
         return fused_heads_attention_bwd(q, k, v, g, num_heads)
     _, vjp = jax.vjp(
         lambda a, b, c: _einsum_natural(a, b, c, num_heads), q, k, v)

@@ -269,3 +269,21 @@ def test_fused_heads_block_q_envelope():
     assert bq and bq < 4096 and 4096 % bq == 0
     assert fused_heads_block_q(100, 128) == 0        # not lane-aligned
     assert fused_heads_block_q(64, 128) == 0         # too short
+
+
+def test_fused_heads_blocked_bwd_matches_eager_vjp():
+    """Blocked backward (q walked in blocks, dk/dv accumulated in carries)
+    must reproduce the eager einsum VJP."""
+    from t2ms_tpu.ops.attention import (_einsum_natural,
+                                        fused_heads_attention_bwd)
+    ks = jax.random.split(jax.random.key(40), 4)
+    q, k, v = (jax.random.normal(kk, (2, 96, 64)) for kk in ks[:3])
+    g = jax.random.normal(ks[3], (2, 96, 64))
+    _, vjp = jax.vjp(lambda a, b, c: _einsum_natural(a, b, c, 2), q, k, v)
+    want = vjp(g)
+    got = fused_heads_attention_bwd(q, k, v, g, 2, block_q=32,
+                                    interpret=True)
+    for got_i, want_i, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(got_i), np.asarray(want_i), rtol=1e-3, atol=1e-4,
+            err_msg=f"d{name} mismatch (blocked)")
