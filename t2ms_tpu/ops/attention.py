@@ -447,11 +447,18 @@ def _bwd_block_q(n: int, hd: int, bpe: int = 2) -> int:
     whose ~16 B/elem tiles + f32 dk/dv accumulators fit."""
     if n % 8 != 0 or n < 128:
         return 0
-    budget = 14 * 2 ** 20
-    if n * n * 18 + 2 * n * hd * (bpe + 4) < budget:
+    # 11 MB budget = ~30% margin under the 16 MB scoped-vmem limit, and
+    # the (1, n, hd) grid blocks (4 inputs + 3 outputs) count DOUBLE:
+    # Mosaic pipelines the next batch element's blocks while the current
+    # one computes. Both terms are calibrated against measured OOMs
+    # (whole-row N=1024/HD=128: 18.77 MB; blocked HD=512: 16.77 MB flat
+    # in bq — the 2x7 ref buffers alone are 14.7 MB there).
+    budget = 11 * 2 ** 20
+    refs = 14 * n * hd * bpe
+    if n * n * 18 + refs < budget:
         return n
     for bq in (512, 384, 256, 128):
-        if n % bq == 0 and bq * n * 16 + n * hd * (8 + 3 * bpe) < budget:
+        if n % bq == 0 and bq * n * 16 + refs < budget:
             return bq
     return 0
 
