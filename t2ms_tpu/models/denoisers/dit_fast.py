@@ -1,5 +1,7 @@
-"""Serving-path DiT forward over the SAME flax param tree, with every
-transformer block executed by the fused Pallas kernel (ops/dit_block.py).
+"""Serving-path DiT forward over the SAME flax param tree, with the WHOLE
+transformer stack executed by one Pallas program per batch element
+(ops/dit_block.fused_dit_stack) — activations never round-trip HBM
+between layers.
 
 This is a pure function mirroring models/denoisers/dit.DiT.__call__
 (reference transformer.py:94-204) — patchify, sinusoidal positions, time +
@@ -11,6 +13,7 @@ DiT.apply is pinned by tests/test_dit_fast.py.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -18,7 +21,7 @@ import jax.numpy as jnp
 
 from t2ms_tpu.models.denoisers.dit import (sinusoidal_positions,
                                            time_embedding)
-from t2ms_tpu.ops.dit_block import fused_dit_block
+from t2ms_tpu.ops.dit_block import fused_dit_stack
 
 __all__ = ["fast_dit_forward", "fast_forward_supported"]
 
@@ -37,7 +40,9 @@ def fast_forward_supported(dit) -> bool:
     D = dit.d_model
     hidden = int(D * dit.mlp_ratio)
     bpe = jnp.dtype(dit.compute_dtype).itemsize
-    weights = (D * 3 * D + D * D + D * hidden + hidden * D) * bpe
+    # the stack kernel keeps ALL layers' weights VMEM-resident
+    weights = dit.depth * (D * 3 * D + D * D + D * hidden
+                           + hidden * D) * bpe
     acts = (pc * D * 4 + pc * 3 * D + pc * hidden) * bpe   # x,y,attn,res + qkv + h1
     scores = pc * pc * 4 * 2            # one head's f32 scores + exp copy
     return weights + acts + scores < 12 * 2 ** 20   # head-room under 16 MB
@@ -71,17 +76,19 @@ def fast_dit_forward(dit, params, x: jnp.ndarray, t: jnp.ndarray,
         c = c + te
     silu_c = jax.nn.silu(c)
 
-    for i in range(dit.depth):
-        bp = p[f"block_{i}"]
-        mod = dense(silu_c, bp["adaLN_modulation"]).reshape(B, 6,
-                                                            dit.d_model)
-        h = fused_dit_block(
-            h, mod,
-            bp["attn"]["qkv"]["kernel"], bp["attn"]["qkv"]["bias"],
-            bp["attn"]["proj"]["kernel"], bp["attn"]["proj"]["bias"],
-            bp["mlp"]["fc1"]["kernel"], bp["mlp"]["fc1"]["bias"],
-            bp["mlp"]["fc2"]["kernel"], bp["mlp"]["fc2"]["bias"],
-            dit.num_heads, interpret=interpret)
+    blocks = [p[f"block_{i}"] for i in range(dit.depth)]
+    mods = jnp.stack([
+        dense(silu_c, bp["adaLN_modulation"]).reshape(B, 6, dit.d_model)
+        for bp in blocks], axis=1)                      # (B, L, 6, D)
+    stack = lambda path: jnp.stack(
+        [functools.reduce(lambda q, k: q[k], path, bp) for bp in blocks])
+    h = fused_dit_stack(
+        h, mods,
+        stack(("attn", "qkv", "kernel")), stack(("attn", "qkv", "bias")),
+        stack(("attn", "proj", "kernel")), stack(("attn", "proj", "bias")),
+        stack(("mlp", "fc1", "kernel")), stack(("mlp", "fc1", "bias")),
+        stack(("mlp", "fc2", "kernel")), stack(("mlp", "fc2", "bias")),
+        dit.num_heads, interpret=interpret)
 
     # final LN (learned scale/bias, eps 1e-5) + linear un-patchify
     hf = h.astype(jnp.float32)

@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 
 from t2ms_tpu.ops.attention import attn_heads_natural
 
-__all__ = ["fused_dit_block", "dit_block_reference"]
+__all__ = ["fused_dit_block", "fused_dit_stack", "dit_block_reference"]
 
 
 def _ln(x, eps):
@@ -39,13 +39,13 @@ def _ln(x, eps):
     return (xf - mu) * jax.lax.rsqrt(var + eps)
 
 
-def _block_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-                  wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, o_ref, *,
-                  num_heads: int, eps: float):
-    x = x_ref[0]                                      # (N, D), compute dtype
+def _block_math(x, mod, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
+                num_heads: int, eps: float):
+    """One adaLN-zero block on VMEM values: x (N, D), mod (6, D), flax
+    Dense-layout weights. Shared by the single-block and whole-stack
+    kernels."""
     dt = x.dtype
     D = x.shape[-1]
-    mod = mod_ref[0]                                  # (6, D)
     sh_a, sc_a, g_a = mod[0][None, :], mod[1][None, :], mod[2][None, :]
     sh_m, sc_m, g_m = mod[3][None, :], mod[4][None, :], mod[5][None, :]
 
@@ -53,9 +53,9 @@ def _block_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     y = (_ln(x, eps) * (1.0 + sc_a.astype(jnp.float32))
          + sh_a.astype(jnp.float32)).astype(dt)
     qkv = (jax.lax.dot_general(
-        y, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        y, wqkv, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-        + bqkv_ref[...].astype(jnp.float32)).astype(dt)
+        + bqkv.astype(jnp.float32)).astype(dt)
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
     scale = (D // num_heads) ** -0.5
     parts = [None] * num_heads
@@ -63,24 +63,48 @@ def _block_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         parts[h] = o.astype(dt)
     attn = jnp.concatenate(parts, axis=-1)            # (N, D)
     proj = (jax.lax.dot_general(
-        attn, wproj_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        attn, wproj, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-        + bproj_ref[...].astype(jnp.float32)).astype(dt)
+        + bproj.astype(jnp.float32)).astype(dt)
     x = x + g_a.astype(dt) * proj
 
     # --- MLP half ---
     y = (_ln(x, eps) * (1.0 + sc_m.astype(jnp.float32))
          + sh_m.astype(jnp.float32)).astype(dt)
     h1 = (jax.lax.dot_general(
-        y, wfc1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        y, wfc1, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-        + bfc1_ref[...].astype(jnp.float32)).astype(dt)
+        + bfc1.astype(jnp.float32)).astype(dt)
     h1 = jax.nn.gelu(h1, approximate=True)
     h2 = (jax.lax.dot_general(
-        h1, wfc2_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        h1, wfc2, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-        + bfc2_ref[...].astype(jnp.float32)).astype(dt)
-    o_ref[0] = x + g_m.astype(dt) * h2
+        + bfc2.astype(jnp.float32)).astype(dt)
+    return x + g_m.astype(dt) * h2
+
+
+def _block_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                  wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, o_ref, *,
+                  num_heads: int, eps: float):
+    o_ref[0] = _block_math(
+        x_ref[0], mod_ref[0], wqkv_ref[...], bqkv_ref[...], wproj_ref[...],
+        bproj_ref[...], wfc1_ref[...], bfc1_ref[...], wfc2_ref[...],
+        bfc2_ref[...], num_heads, eps)
+
+
+def _stack_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                  wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, o_ref, *,
+                  num_heads: int, eps: float, depth: int):
+    """ALL transformer blocks in one program: x never leaves VMEM between
+    layers (the (B, N, D) activation round-trips HBM once per model
+    instead of once per layer)."""
+    x = x_ref[0]
+    for l in range(depth):
+        x = _block_math(
+            x, mod_ref[0, l], wqkv_ref[l], bqkv_ref[l], wproj_ref[l],
+            bproj_ref[l], wfc1_ref[l], bfc1_ref[l], wfc2_ref[l],
+            bfc2_ref[l], num_heads, eps)
+    o_ref[0] = x
 
 
 def fused_dit_block(x: jnp.ndarray, mod: jnp.ndarray, wqkv, bqkv, wproj,
@@ -111,6 +135,41 @@ def fused_dit_block(x: jnp.ndarray, mod: jnp.ndarray, wqkv, bqkv, wproj,
         interpret=interpret,
     )(x, mod, w(wqkv), w(bqkv)[None], w(wproj), w(bproj)[None],
       w(wfc1), w(bfc1)[None], w(wfc2), w(bfc2)[None])
+
+
+def fused_dit_stack(x: jnp.ndarray, mod: jnp.ndarray, wqkv, bqkv, wproj,
+                    bproj, wfc1, bfc1, wfc2, bfc2, num_heads: int,
+                    eps: float = 1e-6,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Whole transformer stack in one Pallas program per batch element:
+    x (B, N, D), per-sample per-layer adaLN vectors mod (B, L, 6, D),
+    weights stacked over the layer axis (L, ...). The activation reads
+    HBM once and writes once for the WHOLE stack (vs once per layer with
+    fused_dit_block); weights (~1.3 MB bf16 at reference scale) stay
+    VMEM-resident across layers."""
+    B, N, D = x.shape
+    L = wqkv.shape[0]
+    hidden = wfc1.shape[-1]
+    dt = x.dtype
+    const = lambda *shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape))
+    w = lambda a: a.astype(dt)
+    return pl.pallas_call(
+        functools.partial(_stack_kernel, num_heads=num_heads, eps=eps,
+                          depth=L),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), dt),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L, 6, D), lambda b: (b, 0, 0, 0)),
+            const(L, D, 3 * D), const(L, 3 * D),
+            const(L, D, D), const(L, D),
+            const(L, D, hidden), const(L, hidden),
+            const(L, hidden, D), const(L, D),
+        ],
+        out_specs=pl.BlockSpec((1, N, D), lambda b: (b, 0, 0)),
+        interpret=interpret,
+    )(x, mod, w(wqkv), w(bqkv), w(wproj), w(bproj), w(wfc1), w(bfc1),
+      w(wfc2), w(bfc2))
 
 
 def dit_block_reference(x, mod, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2,

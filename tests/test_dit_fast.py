@@ -72,3 +72,26 @@ def test_fast_forward_supported_envelope():
     assert not fast_forward_supported(
         DiT(latent_len=64, latent_dim=64, d_model=512, depth=12,
             num_heads=8, mlp_ratio=4.0, compute_dtype=jnp.bfloat16))
+
+
+def test_fused_stack_matches_per_block():
+    """The whole-stack kernel must equal sequential fused blocks."""
+    from t2ms_tpu.ops.dit_block import fused_dit_block, fused_dit_stack
+    r = np.random.default_rng(7)
+    B, N, D, hidden, L = 2, 24, 32, 64, 3
+    f = lambda *s: jnp.asarray(r.standard_normal(s), jnp.float32)
+    x = f(B, N, D)
+    mods = 0.1 * f(B, L, 6, D)
+    ws = dict(wqkv=0.2 * f(L, D, 3 * D), bqkv=0.1 * f(L, 3 * D),
+              wproj=0.2 * f(L, D, D), bproj=0.1 * f(L, D),
+              wfc1=0.2 * f(L, D, hidden), bfc1=0.1 * f(L, hidden),
+              wfc2=0.2 * f(L, hidden, D), bfc2=0.1 * f(L, D))
+    want = x
+    for l in range(L):
+        want = fused_dit_block(
+            want, mods[:, l], ws["wqkv"][l], ws["bqkv"][l], ws["wproj"][l],
+            ws["bproj"][l], ws["wfc1"][l], ws["bfc1"][l], ws["wfc2"][l],
+            ws["bfc2"][l], num_heads=4, interpret=True)
+    got = fused_dit_stack(x, mods, num_heads=4, interpret=True, **ws)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-5)
