@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--f32", action="store_true",
                     help="denoiser compute in f32 (torch-comparable) "
                          "instead of the bf16 serving config")
+    ap.add_argument("--cfg_sweep", default="",
+                    help="comma list of extra cfg_scales to score "
+                         "(MSE + C-FID) from the SAME trained model — "
+                         "mirrors the reference's per-dataset op-point "
+                         "sweeps; requires --eval_cfid")
     args = ap.parse_args()
 
     from t2ms_tpu.models.denoisers import DiT
@@ -122,21 +127,25 @@ def main():
             print(f"denoiser step {i}: loss {float(dloss):.4f}",
                   file=sys.stderr)
 
-    # --- sample + evaluate ---
+    # --- sample + evaluate (optionally sweeping cfg_scale like the
+    # reference's scripts/script.sh per-dataset op-point tuning) ---
     n_eval = 128
     x_gt, e_gt, cls = make_batch(99999, n_eval)
-    sampler = make_cfg_sampler(dit, vae, args.backbone, 100,
-                               args.cfg_scale, T)
-    out = sampler(sd.params, vp, jax.random.key(42), jnp.asarray(x_gt),
-                  jnp.asarray(e_gt))
-    gen = np.asarray(out.series)
 
-    if args.track == "motion":
-        ntd_gt = np.transpose(x_gt, (0, 2, 1))      # (N, T, D)
-        ntd_gen = np.transpose(gen, (0, 2, 1))
-    else:
-        ntd_gt = x_gt[:, :, None]
-        ntd_gen = gen[:, :, None]
+    def sample_at(cfg_scale):
+        sampler = make_cfg_sampler(dit, vae, args.backbone, 100,
+                                   cfg_scale, T)
+        out = sampler(sd.params, vp, jax.random.key(42),
+                      jnp.asarray(x_gt), jnp.asarray(e_gt))
+        return np.asarray(out.series)
+
+    def to_ntd(a):
+        return (np.transpose(a, (0, 2, 1)) if args.track == "motion"
+                else a[:, :, None])
+
+    ntd_gt = to_ntd(x_gt)
+    gen = sample_at(args.cfg_scale)
+    ntd_gen = to_ntd(gen)
     res = {
         "vae_recon_error": float(recon_err),
         "final_train_loss": float(dloss),
@@ -158,10 +167,21 @@ def main():
         r2 = m.encode(ntd_gen.astype(np.float32),
                       encoding_window="full_series")
         res["C-FID"] = calculate_fid(r1, r2)
+        if args.cfg_sweep:
+            sweep = {}
+            for cs in (float(s) for s in args.cfg_sweep.split(",")):
+                g = to_ntd(sample_at(cs)).astype(np.float32)
+                sweep[str(cs)] = {
+                    "MSE": calculate_mse(ntd_gt, g),
+                    "C-FID": calculate_fid(
+                        r1, m.encode(g, encoding_window="full_series")),
+                }
+            res["cfg_sweep"] = sweep
 
     gates = {
         "mse_beats_noise": res["MSE"] < 0.5 * res["MSE_noise_floor"],
-        "finite": all(np.isfinite(v) for v in res.values()),
+        "finite": all(np.isfinite(v) for v in res.values()
+                      if isinstance(v, (int, float))),
         "distribution_close": abs(res["SD"]) < 1.0 and abs(res["KD"]) < 3.0,
     }
     res["gates"] = gates
