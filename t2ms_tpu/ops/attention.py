@@ -294,7 +294,7 @@ def fused_heads_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     this beats both einsum (which round-trips the (B,H,N,N) scores
     through HBM) and the per-(batch,head) flash kernel (which re-loads
     K/V per q-block program and pays f32 online rescaling): measured
-    67.8 -> 31 ms/step vs einsum at 4096 tokens (BASELINE.md)."""
+    67.8 -> 27.9 ms/step vs einsum at 4096 tokens (BASELINE.md)."""
     B, N, HD = q.shape
     D = HD // num_heads
     if scale is None:
