@@ -35,7 +35,7 @@ def build_t2s_vae(args=None) -> LAVAE:
                  num_residual_layers=g("num_residual_layers", 2),
                  num_residual_hiddens=g("res_hidden_size", 256),
                  embedding_dim=g("embedding_dim", 64),
-                 latent_grid=30,
+                 latent_grid=g("latent_grid", 30),
                  exact_length_output=False)
 
 

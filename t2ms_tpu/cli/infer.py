@@ -47,6 +47,9 @@ def get_args(argv=None):
     p.add_argument("--checkpoint_file", type=str, default="",
                    help="explicit denoiser checkpoint path; a .pth file "
                         "is imported from the reference torch format")
+    p.add_argument("--latent_grid", type=int, default=30,
+                   help="VAE latent grid length (30 = T2S reference; "
+                        "use 6 with imported reference MLP checkpoints)")
     p.add_argument("--vae_file", type=str, default="",
                    help="explicit VAE checkpoint path; a .pth file is "
                         "imported from the reference torch format "
@@ -71,7 +74,7 @@ def _load_torch_vae_params(path: str):
     (infer.py:39-41 torch.load(weights_only=False))."""
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))))))
+        os.path.abspath(__file__)))))
     from tools.import_torch_ckpt import (lavae_params_from_state_dict,
                                          load_torch_file)
     return lavae_params_from_state_dict(load_torch_file(path))
@@ -82,7 +85,7 @@ def _load_torch_denoiser_params(path: str, kind: str):
     state_dict) -> DiT/MLPDenoiser params (infer.py:43-48)."""
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))))))
+        os.path.abspath(__file__)))))
     from tools.import_torch_ckpt import (dit_params_from_state_dict,
                                          load_torch_file,
                                          mlp_params_from_state_dict)
@@ -99,7 +102,7 @@ def infer(args, run_dir: str, seed_offset: int = 0, collect_gif=True):
     print(f"Inference config::Step: {args.total_step}\t"
           f"CFG Scale: {args.cfg_scale}")
 
-    vae = build_t2s_vae()
+    vae = build_t2s_vae(args)
     probe = jnp.zeros((2, length))
     vae_params = vae.init(jax.random.key(0), probe)
     torch_vae = args.pretrained_model_path.endswith(".pth")
@@ -109,7 +112,8 @@ def infer(args, run_dir: str, seed_offset: int = 0, collect_gif=True):
     elif os.path.exists(args.pretrained_model_path):
         vae_params = ckpt.load_params(args.pretrained_model_path, vae_params)
 
-    denoiser = build_denoiser(args.denoiser, latent_len=30, latent_dim=64)
+    denoiser = build_denoiser(args.denoiser, latent_len=args.latent_grid,
+                              latent_dim=64)
     z, _ = vae.apply(vae_params, probe, method=vae.encode)
     d_params = denoiser.init(jax.random.key(1), z, jnp.zeros(2),
                              jnp.zeros((2, 128)))
@@ -117,6 +121,20 @@ def infer(args, run_dir: str, seed_offset: int = 0, collect_gif=True):
             os.path.exists(args.checkpoint_path):
         d_params = _load_torch_denoiser_params(args.checkpoint_path,
                                                args.denoiser)
+        if args.denoiser == "MLP":
+            # the reference MLP hard-codes its token count (mlp.py:49-85,
+            # 6 at reference scale); rebuild at the CHECKPOINT's geometry
+            # and insist the VAE latent grid matches — a silent mismatch
+            # would crash deep inside the first apply
+            ckpt_len = int(d_params["params"]["layer_0"]["mlp2_fc1"]
+                           ["kernel"].shape[0])
+            if ckpt_len != z.shape[-1]:
+                raise ValueError(
+                    f"imported reference MLP expects latent length "
+                    f"{ckpt_len} but the VAE produces {z.shape[-1]}; pass "
+                    f"a VAE with latent_grid={ckpt_len} (--vae_file)")
+            denoiser = build_denoiser("MLP", latent_len=ckpt_len,
+                                      latent_dim=64)
         print(f"Imported reference denoiser from {args.checkpoint_path}")
     elif os.path.exists(args.checkpoint_path):
         restored = ckpt.load_train_ckpt(args.checkpoint_path, d_params, None)

@@ -45,8 +45,11 @@ def evaluate_data(args, ori_data, gen_data, index, result):
     show_with_start_divider(f"Evalution with settings:{args}")
     methods = _method_list(args.method_list)
     if gen_data is None or ori_data.shape != gen_data.shape:
+        # skip THIS sample but keep the accumulated per-sample results —
+        # returning None here would wipe `result` and crash on the next
+        # sample's item assignment
         show_with_end_divider("Error: Generated data mismatch.")
-        return None
+        return result
     result[index] = {}
     ntd_ori = np.transpose(ori_data, (0, 2, 1))          # (G, T, D)
     ntd_gen = np.transpose(gen_data, (0, 2, 1))

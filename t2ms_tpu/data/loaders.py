@@ -67,10 +67,14 @@ class BucketBatcher:
             pc, pi = jax.process_count(), jax.process_index()
         if pc <= 1:
             return idx
-        per = len(idx) // pc
-        if per == 0:
-            raise ValueError(
-                f"global batch {len(idx)} < process_count {pc}")
+        # every process must contribute an equal-sized slice (the global
+        # assembly requires consistent shapes), so a tail batch that does
+        # not divide evenly is padded BY WRAPPING — no rows are silently
+        # dropped and no mid-epoch error on small final batches
+        per = -(-len(idx) // pc)
+        if per * pc != len(idx):
+            pad = np.resize(idx, per * pc)
+            return pad[pi * per:(pi + 1) * per]
         return idx[pi * per:(pi + 1) * per]
 
     def __len__(self):

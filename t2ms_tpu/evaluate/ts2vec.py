@@ -38,7 +38,16 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax import lax
+
+
+def _make_optimizer(lr: float):
+    """Single definition of the TS2Vec optimizer (reference ts2vec.py:64
+    AdamW): used by BOTH __init__ (whose opt_state the scan consumes) and
+    _fit_scan (whose static args must stay hashable, hence the shared
+    factory rather than passing the transformation object)."""
+    return optax.adamw(lr)
 
 __all__ = ["TS2Vec", "initialize_ts2vec", "TSEncoder",
            "hierarchical_contrastive_loss",
@@ -254,7 +263,6 @@ class TS2Vec:
     def __init__(self, input_dims, output_dims=320, hidden_dims=64,
                  depth=10, device=None, lr=0.001, batch_size=16,
                  max_train_length=None, temporal_unit=0, seed=0):
-        import optax
         self.encoder = TSEncoder(input_dims, output_dims, hidden_dims, depth)
         self.lr = lr
         self.batch_size = batch_size
@@ -262,7 +270,7 @@ class TS2Vec:
         self.temporal_unit = temporal_unit
         self.rng = np.random.default_rng(seed)
         self._jkey = jax.random.key(seed)
-        self.optimizer = optax.adamw(lr)
+        self.optimizer = _make_optimizer(lr)
         self.params = None
         self.swa_params = None
         self.swa_n = 0
@@ -273,6 +281,11 @@ class TS2Vec:
     def fit(self, train_data: np.ndarray, n_epochs=None, n_iters=None,
             verbose=False):
         assert train_data.ndim == 3
+        # the default n_iters comes from the RAW input size, before the
+        # max_train_length split or the all-NaN-row filter — the reference
+        # computes it first (ts2vec.py:87-88)
+        if n_iters is None and n_epochs is None:
+            n_iters = 200 if train_data.size <= 100000 else 600
         if self.max_train_length is not None:
             sections = train_data.shape[1] // self.max_train_length
             if sections >= 2:
@@ -283,9 +296,6 @@ class TS2Vec:
                 train_data = np.concatenate(padded, axis=0)
         train_data = train_data[
             ~np.isnan(train_data).all(axis=2).all(axis=1)]
-
-        if n_iters is None and n_epochs is None:
-            n_iters = 200 if train_data.size <= 100000 else 600
 
         n = train_data.shape[0]
         ts_l = train_data.shape[1]
@@ -399,8 +409,7 @@ def _fit_scan(encoder, lr, temporal_unit, params, opt_state, swa_params,
     are hashable (flax module config + floats), so repeated fits with the
     same geometry — e.g. the 10 C-FID evals of a multi-run experiment —
     reuse one compiled program."""
-    import optax
-    opt = optax.adamw(lr)
+    opt = _make_optimizer(lr)
     ts_l = data.shape[1]
     pos = jnp.arange(ts_l)
 

@@ -303,6 +303,10 @@ def fused_heads_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         block_q = fused_heads_block_q(N, HD, jnp.dtype(q.dtype).itemsize)
         if not block_q:
             block_q = N
+    if N % block_q != 0:
+        # a partial trailing q-block would silently leave output rows
+        # unwritten — refuse rather than return garbage
+        raise ValueError(f"block_q {block_q} must divide N {N}")
     return pl.pallas_call(
         functools.partial(_fused_heads_kernel, num_heads=num_heads,
                           scale=scale),

@@ -40,11 +40,16 @@ class SamplerOutput(NamedTuple):
 
 
 def _serving_forward(denoiser):
-    """Pick the serving forward: the fused-block Pallas path for the DiT
-    on TPU when the geometry qualifies (whole transformer block per
-    program, ops/dit_block.py — same param tree), flax apply otherwise."""
+    """Pick the serving forward: the fused-stack Pallas path for the DiT
+    on TPU when the geometry qualifies (whole transformer stack per
+    program, ops/dit_block.py — same param tree), flax apply otherwise.
+    An explicit ``attention_impl`` other than 'auto' opts OUT: the user
+    asked for a specific path (oracle runs, kernel A/B benches), so the
+    sampler must not reroute it to the megakernel."""
     from t2ms_tpu.models.denoisers.dit import DiT
-    if isinstance(denoiser, DiT) and jax.default_backend() not in ("cpu",):
+    if isinstance(denoiser, DiT) \
+            and getattr(denoiser, "attention_impl", "auto") == "auto" \
+            and jax.default_backend() not in ("cpu",):
         from t2ms_tpu.models.denoisers.dit_fast import (
             fast_dit_forward, fast_forward_supported)
         if fast_forward_supported(denoiser):
