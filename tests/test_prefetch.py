@@ -78,3 +78,49 @@ def test_global_shard_batch_assembles_process_local_data():
     np.testing.assert_array_equal(np.asarray(via_local),
                                   np.asarray(via_put))
     assert via_local.sharding.is_equivalent_to(via_put.sharding, 2)
+
+
+def test_multihost_tail_batch_wraps_instead_of_raising():
+    """A final batch smaller than (or not divisible by) process_count
+    wrap-pads to equal per-process slices: no mid-epoch ValueError, no
+    silently dropped rows (round-2 review fix)."""
+    from t2ms_tpu.data.loaders import BucketBatcher
+
+    rng = np.random.default_rng(1)
+    # 35 rows, batch 8 -> final slot has 3 rows < process_count 4
+    buckets = {24: dict(x=rng.standard_normal((35, 24)),
+                        embedding=rng.standard_normal((35, 8)),
+                        texts=[f"t{i}" for i in range(35)])}
+    procs = [BucketBatcher(buckets, 8, seed=5, drop_last=False,
+                           process_count=4, process_index=i)
+             for i in range(4)]
+    epochs = [list(p.epoch(0)) for p in procs]
+    sizes = {len(e) for e in epochs}
+    assert sizes == {len(epochs[0])}
+    for batches in zip(*epochs):
+        per = {b.x.shape[0] for b in batches}
+        assert len(per) == 1          # equal-sized slices on every process
+    # union of the final (wrapped) batch still covers only real rows
+    last_rows = np.concatenate([e[-1].x for e in epochs])
+    assert last_rows.shape[0] == 4 * epochs[0][-1].x.shape[0]
+
+
+def test_myevaluation_skips_mismatched_sample():
+    """A per-sample shape mismatch skips that sample but keeps the
+    accumulated results (round-2 review fix: returning None crashed the
+    next sample's item assignment)."""
+    import argparse
+
+    from t2ms_tpu.cli.myevaluation import evaluate_data
+
+    args = argparse.Namespace(method_list="MSE", device=None)
+    runs, D, T = 3, 2, 16
+    ok = np.random.default_rng(0).standard_normal((runs, D, T))
+    result = {}
+    result = evaluate_data(args, ok, ok.copy(), 0, result)
+    assert 0 in result and "MSE" in result[0]
+    bad = np.zeros((runs, D, T + 4))
+    result = evaluate_data(args, ok, bad, 1, result)   # mismatch: skip
+    assert result is not None and 1 not in result and 0 in result
+    result = evaluate_data(args, ok, ok.copy(), 2, result)
+    assert 2 in result
