@@ -15,13 +15,18 @@ __all__ = ["build_denoiser", "build_t2s_vae", "build_motion_vae",
 DENOISER_CHOICES = ("DiT", "MLP")
 
 
-def build_denoiser(name: str, latent_len: int, latent_dim: int = 64):
+def build_denoiser(name: str, latent_len: int, latent_dim: int = 64,
+                   compute_dtype=jnp.float32):
     """Reference factory {'DiT': Transformer, 'MLP': MLP} (train.py:16,
-    mytrain.py:23) — parametric latent geometry instead of two copies."""
+    mytrain.py:23) — parametric latent geometry instead of two copies.
+    ``compute_dtype`` is the activation dtype (params stay f32; bf16 is
+    the TPU serving config, BASELINE.md)."""
     if name == "DiT":
-        return DiT(latent_len=latent_len, latent_dim=latent_dim)
+        return DiT(latent_len=latent_len, latent_dim=latent_dim,
+                   compute_dtype=compute_dtype)
     if name == "MLP":
-        return MLPDenoiser(feat_dim=latent_dim, latent_len=latent_len)
+        return MLPDenoiser(feat_dim=latent_dim, latent_len=latent_len,
+                           compute_dtype=compute_dtype)
     raise ValueError("No denoiser found")
 
 

@@ -54,6 +54,11 @@ def get_args(argv=None):
                    help="explicit VAE checkpoint path; a .pth file is "
                         "imported from the reference torch format "
                         "(whole-pickled module or state_dict)")
+    p.add_argument("--compute_dtype", type=str, default="f32",
+                   choices=["f32", "float32", "bf16", "bfloat16"],
+                   help="denoiser activation dtype; bf16 is the measured "
+                        "TPU serving config (+46%% throughput, outputs "
+                        "correlate >0.999 with f32 — BASELINE.md)")
     args = p.parse_args(argv)
     args.mix_train = False
     model_root = args.dataset_name.split("_")[0]
@@ -112,8 +117,13 @@ def infer(args, run_dir: str, seed_offset: int = 0, collect_gif=True):
     elif os.path.exists(args.pretrained_model_path):
         vae_params = ckpt.load_params(args.pretrained_model_path, vae_params)
 
+    from t2ms_tpu.training.scaling import setup_scaling
+    plan = setup_scaling(args, for_training=False)
+    if plan.n_data > 1:
+        print(f"Serving plan: {plan.describe()}")
     denoiser = build_denoiser(args.denoiser, latent_len=args.latent_grid,
-                              latent_dim=64)
+                              latent_dim=64,
+                              compute_dtype=plan.compute_dtype)
     z, _ = vae.apply(vae_params, probe, method=vae.encode)
     d_params = denoiser.init(jax.random.key(1), z, jnp.zeros(2),
                              jnp.zeros((2, 128)))
@@ -149,14 +159,26 @@ def infer(args, run_dir: str, seed_offset: int = 0, collect_gif=True):
                                out_length=length, collect_trajectory=True)
     key = root_key(args.general_seed + seed_offset)
 
+    if plan.n_data > 1:
+        from t2ms_tpu.training.scaling import replicate_tree
+        d_params = replicate_tree(plan, d_params)
+        vae_params = replicate_tree(plan, vae_params)
+
     x1s, xts, lat_dec, lat_enc = [], [], [], []
     gif_frames = None
     for b, batch in enumerate(batcher.epoch(0)):
         if args.max_batches and b >= args.max_batches:
             break
         print(f"Generating {b}th Batch TS...")
-        out = sampler(d_params, vae_params, step_key(key, b),
-                      jnp.asarray(batch.x), jnp.asarray(batch.embedding))
+        x_in = jnp.asarray(batch.x)
+        e_in = jnp.asarray(batch.embedding)
+        if plan.n_data > 1 and x_in.shape[0] % plan.n_data == 0:
+            # DP-shard the serving batch (tail batches that don't divide
+            # the data axis run replicated — test loaders keep drop_last
+            # False, reference dataloader.py:111)
+            from t2ms_tpu.parallel.mesh import shard_batch
+            x_in, e_in = shard_batch(plan.mesh, (x_in, e_in))
+        out = sampler(d_params, vae_params, step_key(key, b), x_in, e_in)
         x1s.append(np.asarray(batch.x))
         xts.append(np.asarray(out.series))
         lat_dec.append(np.asarray(out.latent))

@@ -51,6 +51,10 @@ def get_args(argv=None):
     p.add_argument("--max_batches", type=int, default=10)
     p.add_argument("--render_gifs", type=lambda s: s not in ("0", "False"),
                    default=True)
+    p.add_argument("--compute_dtype", type=str, default="f32",
+                   choices=["f32", "float32", "bf16", "bfloat16"],
+                   help="denoiser activation dtype; bf16 is the measured "
+                        "TPU serving config (BASELINE.md)")
     args = p.parse_args(argv)
     args = get_cfg(args)
     args.pretrainedvae_path = os.path.join(
@@ -94,8 +98,11 @@ def infer(args, run_dir: str, seed_offset: int = 0):
     if os.path.exists(args.pretrainedvae_path):
         vae_params = ckpt.load_params(args.pretrainedvae_path, vae_params)
 
+    from t2ms_tpu.training.scaling import parse_dtype
     denoiser = build_denoiser(args.denoiser, latent_len=args.flow_dim,
-                              latent_dim=args.embedding_dim)
+                              latent_dim=args.embedding_dim,
+                              compute_dtype=parse_dtype(
+                                  getattr(args, "compute_dtype", "f32")))
     z, _ = vae.apply(vae_params, probe, method=vae.encode)
     d_params = denoiser.init(jax.random.key(1), z, jnp.zeros(2),
                              jnp.zeros((2, 128)))

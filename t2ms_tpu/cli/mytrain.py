@@ -20,6 +20,7 @@ from t2ms_tpu.config import (denoiser_ckpt_dir, get_cfg,
                              motion_pretrained_dir)
 from t2ms_tpu.data.provider import motion_loader_provider
 from t2ms_tpu.training import checkpoints as ckpt
+from t2ms_tpu.training import scaling
 from t2ms_tpu.training.optim import onecycle_adamw
 from t2ms_tpu.training.trainer import TrainState, make_denoiser_train_step
 from t2ms_tpu.utils.logging import JsonlLogger, StepTimer, plot_loss_curve
@@ -47,6 +48,7 @@ def get_args(argv=None):
                    help="retention: additionally preserve every N-th "
                         "epoch checkpoint forever (0 = off)")
     p.add_argument("--save_every", type=int, default=100)
+    scaling.add_scaling_args(p)
     args = p.parse_args(argv)
     args = get_cfg(args)
     args.save_path = denoiser_ckpt_dir(
@@ -64,6 +66,10 @@ def train(args):
     os.makedirs(args.save_path, exist_ok=True)
     train_batcher, _ = motion_loader_provider(args, "train")
 
+    plan = scaling.setup_scaling(args)
+    args.scaling_plan = plan
+    print(f"Scaling plan: {plan.describe()}")
+
     vae = build_motion_vae(args)
     probe = jnp.zeros((2, args.input_dim, args.split_base_num))
     vae_params = vae.init(jax.random.key(0), probe)
@@ -74,7 +80,8 @@ def train(args):
         print(f"WARNING: no pretrained VAE at {args.pretrained_model_path}")
 
     denoiser = build_denoiser(args.denoiser, latent_len=args.flow_dim,
-                              latent_dim=args.embedding_dim)
+                              latent_dim=args.embedding_dim,
+                              compute_dtype=plan.compute_dtype)
     z, _ = vae.apply(vae_params, probe, method=vae.encode)
     params = denoiser.init(jax.random.key(1), z, jnp.zeros(2),
                            jnp.zeros((2, 128)))
@@ -85,7 +92,8 @@ def train(args):
                          * args.epochs)
     state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
     step_fn = make_denoiser_train_step(denoiser, vae, opt, args.backbone,
-                                       args.total_step)
+                                       args.total_step,
+                                       accum_steps=plan.accum_steps)
 
     loss_list = []
     start_epoch = 0
@@ -98,6 +106,9 @@ def train(args):
         start_epoch = int(os.path.basename(
             args.checkpoint_path).split("_")[-1]) + 1
         plot_loss_curve(loss_list, args.save_path)
+
+    state = scaling.replicate_tree(plan, state)
+    vae_params = scaling.replicate_tree(plan, vae_params)
 
     print("training...")
     key = root_key(args.general_seed)
@@ -116,7 +127,7 @@ def train(args):
         for epoch in range(start_epoch, args.epochs):
             group_losses = []
             staged = prefetch_to_device(
-                train_batcher.epoch(epoch),
+                train_batcher.epoch(epoch), mesh=plan.mesh,
                 transform=lambda b: (np.asarray(b.x),
                                      np.asarray(b.embedding)))
             for batch, (x_dev, emb_dev) in staged:

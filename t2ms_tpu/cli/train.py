@@ -22,6 +22,7 @@ from t2ms_tpu.cli._common import build_denoiser, build_t2s_vae
 from t2ms_tpu.config import denoiser_ckpt_dir, t2s_pretrained_dir
 from t2ms_tpu.data.provider import t2s_loader_provider
 from t2ms_tpu.training import checkpoints as ckpt
+from t2ms_tpu.training import scaling
 from t2ms_tpu.training.optim import onecycle_adamw
 from t2ms_tpu.training.trainer import TrainState, make_denoiser_train_step
 from t2ms_tpu.utils.logging import JsonlLogger, StepTimer
@@ -51,6 +52,7 @@ def get_args(argv=None):
     p.add_argument("--ckpt_keep_period", type=int, default=0,
                    help="retention: additionally preserve every N-th "
                         "epoch checkpoint forever (0 = off)")
+    scaling.add_scaling_args(p)
     args = p.parse_args(argv)
     root = args.dataset_name.split("_")[0]
     args.pretrained_model_path = os.path.join(
@@ -66,6 +68,13 @@ def train(args):
     os.makedirs(args.save_path, exist_ok=True)
     datasets, batcher = t2s_loader_provider(args, "train")
 
+    # One scaling policy for every entry point (training/scaling.py): DP
+    # mesh over the visible devices, auto grad-accumulation so the
+    # reference's batch-9216 default fits one chip's HBM, bf16 opt-in.
+    plan = scaling.setup_scaling(args)
+    args.scaling_plan = plan  # introspectable by tests/drivers
+    print(f"Scaling plan: {plan.describe()}")
+
     vae = build_t2s_vae()
     probe = jnp.zeros((2, datasets[0].length))
     vae_params = vae.init(jax.random.key(0), probe)
@@ -76,7 +85,8 @@ def train(args):
         print(f"WARNING: no pretrained VAE at {args.pretrained_model_path}; "
               "training against a random frozen encoder")
 
-    denoiser = build_denoiser(args.denoiser, latent_len=30, latent_dim=64)
+    denoiser = build_denoiser(args.denoiser, latent_len=30, latent_dim=64,
+                              compute_dtype=plan.compute_dtype)
     z, _ = vae.apply(vae_params, probe, method=vae.encode)
     params = denoiser.init(jax.random.key(1), z, jnp.zeros(2),
                            jnp.zeros((2, 128)))
@@ -86,7 +96,8 @@ def train(args):
     opt = onecycle_adamw(total_steps=len(batcher) * args.epochs)
     state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
     step_fn = make_denoiser_train_step(denoiser, vae, opt, args.backbone,
-                                       args.total_step)
+                                       args.total_step,
+                                       accum_steps=plan.accum_steps)
 
     loss_list = []
     start_epoch = 0
@@ -100,6 +111,11 @@ def train(args):
             args.checkpoint_path).split("_")[-1]) + 1
         print(f"Resumed from {args.checkpoint_path} at epoch {start_epoch}")
 
+    # commit params/opt-state replicated on the DP mesh so jit never
+    # inserts resharding transfers against the sharded batches
+    state = scaling.replicate_tree(plan, state)
+    vae_params = scaling.replicate_tree(plan, vae_params)
+
     key = root_key(args.general_seed)
     logger = JsonlLogger(os.path.join(args.save_path, "train_log.jsonl"))
     timer = StepTimer()
@@ -108,12 +124,13 @@ def train(args):
     fw = FrameworkConfig.from_env()
     with profile_trace(fw.profile_dir):
         state = _run_epochs(args, batcher, step_fn, state, vae_params, key,
-                            logger, timer, loss_list, start_epoch)
+                            logger, timer, loss_list, start_epoch,
+                            mesh=plan.mesh)
     return state
 
 
 def _run_epochs(args, batcher, step_fn, state, vae_params, key, logger,
-                timer, loss_list, start_epoch):
+                timer, loss_list, start_epoch, mesh=None):
     from t2ms_tpu.data.prefetch import prefetch_to_device
     from t2ms_tpu.training import checkpoints as ckpt
     mgr = ckpt.TrainCheckpointManager(
@@ -122,7 +139,7 @@ def _run_epochs(args, batcher, step_fn, state, vae_params, key, logger,
         keep_period=getattr(args, "ckpt_keep_period", 0) or None)
     for epoch in range(start_epoch, args.epochs):
         staged = prefetch_to_device(
-            batcher.epoch(epoch),
+            batcher.epoch(epoch), mesh=mesh,
             transform=lambda b: (np.asarray(b.x), np.asarray(b.embedding)))
         for i, (batch, (x_dev, emb_dev)) in enumerate(staged):
             state, loss = step_fn(state, vae_params,

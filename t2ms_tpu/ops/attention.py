@@ -22,7 +22,8 @@ from jax.experimental import pallas as pl
 
 __all__ = ["attention", "einsum_attention", "flash_attention",
            "packed_attention", "fused_heads_attention",
-           "fused_heads_diffable", "fused_heads_attention_bwd"]
+           "fused_heads_diffable", "fused_heads_attention_bwd",
+           "fused_heads_attention_bwd_two_pass"]
 
 
 def einsum_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -443,6 +444,174 @@ def _fused_heads_bwd_blocked_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref,
         dv_ref[0, :, sl] = dv_acc.astype(dv_ref.dtype)
 
 
+def _bwd_pass1_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, stats_ref, *,
+                      num_heads: int, scale: float):
+    """Two-pass long-series backward, pass 1 (grid = batch x q-block):
+    full softmax rows against VMEM-resident K/V produce dq for this
+    q-block PLUS the per-row stats pass 2 needs — m (row max), r (exp row
+    sum) and delta = rowsum(dp * p) (the softmax-VJP row term). stats
+    layout (1, bq, 3H) f32, columns [m_h | r_h | delta_h] per head (the
+    lane dim must be the full array dim or a multiple of 128; 3H is
+    lane-padded but tiny). Design per TODO.md round-2 note: the
+    single-pass blocked kernel needs 7 full-row refs (~14.7 MB
+    double-buffered at N=4096, over VMEM); splitting dq from dk/dv
+    leaves each pass only the refs it actually walks."""
+    H = num_heads
+    D = q_ref.shape[-1] // H
+    dt = q_ref.dtype
+    cols = [None] * (3 * H)
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        g = g_ref[0, :, sl].astype(dt)
+        s = jax.lax.dot_general(
+            q * jnp.asarray(scale, dt), k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (bq, N)
+        m = jnp.max(s, axis=-1)                          # (bq,)
+        e = jnp.exp((s - m[:, None]).astype(dt))         # forward's recipe
+        r = jnp.sum(e.astype(jnp.float32), axis=-1)      # (bq,)
+        p = e.astype(jnp.float32) / r[:, None]
+        dp = jax.lax.dot_general(
+            g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        delta = jnp.sum(dp * p, axis=-1)                 # (bq,)
+        ds = (p * (dp - delta[:, None])).astype(dt)
+        dq = jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        cols[h], cols[H + h], cols[2 * H + h] = m, r, delta
+    stats_ref[0] = jnp.stack(cols, axis=-1)              # (bq, 3H)
+
+
+def _bwd_pass2_kernel(q_ref, k_ref, v_ref, g_ref, stats_ref, dk_ref,
+                      dv_ref, *, num_heads: int, scale: float,
+                      chunk_q: int):
+    """Two-pass long-series backward, pass 2 (grid = batch x k-block):
+    walk ALL q rows in chunks against this k/v block, rebuilding the
+    exact probabilities from pass 1's saved (m, r) — no second row-max
+    pass, softmax identical bit-for-bit to the forward recipe — and
+    accumulate dk/dv for the block in f32 carries."""
+    H = num_heads
+    N = q_ref.shape[1]
+    D = q_ref.shape[-1] // H
+    dt = q_ref.dtype
+    nc = N // chunk_q
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        k = k_ref[0, :, sl]                              # (bk, D)
+        v = v_ref[0, :, sl]
+
+        def body(c, carry):
+            dk_acc, dv_acc = carry
+            rows = pl.ds(c * chunk_q, chunk_q)
+            q = q_ref[0, rows, sl]
+            g = g_ref[0, rows, sl].astype(dt)
+            st = stats_ref[0, rows, :]                   # (cq, 3H) f32
+            m, r, delta = st[:, h], st[:, H + h], st[:, 2 * H + h]
+            s = jax.lax.dot_general(
+                q * jnp.asarray(scale, dt), k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (cq, bk)
+            e = jnp.exp((s - m[:, None]).astype(dt))
+            p = e.astype(jnp.float32) / r[:, None]
+            dv_acc = dv_acc + jax.lax.dot_general(
+                p.astype(dt), g,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = (p * (dp - delta[:, None])).astype(dt)
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            return dk_acc, dv_acc
+
+        bk = k.shape[0]
+        zero = jnp.zeros((bk, D), jnp.float32)
+        dk_acc, dv_acc = jax.lax.fori_loop(0, nc, body, (zero, zero))
+        dk_ref[0, :, sl] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv_acc.astype(dv_ref.dtype)
+
+
+def _bwd_two_pass_blocks(n: int, hd: int, bpe: int = 2):
+    """(block_q, block_k, chunk_q) for the two-pass backward, or None.
+
+    VMEM accounting per the calibrated rules (CLAUDE.md): score tiles
+    cost s/p/dp f32 + e/ds at input width + slack = 14 + 2*bpe bytes per
+    element, and grid-block refs count DOUBLE (Mosaic prefetches the
+    next grid step's buffers). Pass 1 holds 2 full-row refs (k, v) + an
+    (bq, N) score tile; pass 2 holds 2 full-row refs (q, g) + the
+    lane-padded (N, 3H->128) f32 stats + a (cq, bk) tile. Budget 11 MB =
+    ~30% headroom under the 16 MB scoped limit."""
+    if n % 8 != 0 or n < 256:
+        return None
+    budget = 11 * 2 ** 20
+    per_elem = 14 + 2 * bpe
+    full_row = 2 * 2 * n * hd * bpe          # two refs, double-buffered
+    stats = 2 * n * 128 * 4                  # (N, 3H) lane-padded, x2
+    p1 = None
+    for bq in (256, 128, 64, 32):
+        if n % bq == 0 and full_row + per_elem * bq * n < budget:
+            p1 = bq
+            break
+    if p1 is None:
+        return None
+    for bk in (512, 256, 128):
+        cq = 512 if n % 512 == 0 else 256
+        if n % bk == 0 and n % cq == 0 \
+                and full_row + stats + per_elem * cq * bk < budget:
+            return (p1, bk, cq)
+    return None
+
+
+def fused_heads_attention_bwd_two_pass(q, k, v, g, num_heads: int,
+                                       scale: Optional[float] = None,
+                                       blocks=None, interpret: bool = False):
+    """Long-series backward as two Pallas passes (see the pass kernels):
+    admits N=4096+ at HD=128 where the single-pass blocked kernel's
+    7 full-row refs exceed VMEM. ~7 NxNxD matmuls total (vs 5 minimum;
+    the eager fallback instead round-trips several (B, H, N, N) tensors
+    through HBM). Returns (dq, dk, dv)."""
+    B, N, HD = q.shape
+    H = num_heads
+    if scale is None:
+        scale = (HD // H) ** -0.5
+    if blocks is None:
+        blocks = _bwd_two_pass_blocks(N, HD, jnp.dtype(q.dtype).itemsize)
+        if blocks is None:
+            raise ValueError(f"no two-pass geometry for N={N}, HD={HD}")
+    bq, bk, cq = blocks
+    full = pl.BlockSpec((1, N, HD), lambda b, i: (b, 0, 0))
+    qblk = pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0))
+    dq, stats = pl.pallas_call(
+        functools.partial(_bwd_pass1_kernel, num_heads=H, scale=scale),
+        out_shape=[jax.ShapeDtypeStruct((B, N, HD), q.dtype),
+                   jax.ShapeDtypeStruct((B, N, 3 * H), jnp.float32)],
+        grid=(B, N // bq),
+        in_specs=[qblk, full, full, qblk],
+        out_specs=[qblk,
+                   pl.BlockSpec((1, bq, 3 * H), lambda b, i: (b, i, 0))],
+        interpret=interpret,
+    )(q, k, v, g)
+    kblk = pl.BlockSpec((1, bk, HD), lambda b, j: (b, j, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_pass2_kernel, num_heads=H, scale=scale,
+                          chunk_q=cq),
+        out_shape=[jax.ShapeDtypeStruct((B, N, HD), q.dtype)] * 2,
+        grid=(B, N // bk),
+        in_specs=[full, kblk, kblk, full,
+                  pl.BlockSpec((1, N, 3 * H), lambda b, j: (b, 0, 0))],
+        out_specs=[kblk, kblk],
+        interpret=interpret,
+    )(q, k, v, g, stats)
+    return dq, dk, dv
+
+
 def _bwd_block_q(n: int, hd: int, bpe: int = 2) -> int:
     """q-block for the Pallas backward. The whole-row kernel's live set is
     ~18 B per score element (s/p/dp f32 + e/ds compute-dtype + slack —
@@ -511,13 +680,18 @@ def _fused_heads_fwd(q, k, v, num_heads):
 def _fused_heads_bwd(num_heads, res, g):
     q, k, v = res
     n = q.shape[1]
+    hd = q.shape[-1]
     bpe = jnp.dtype(q.dtype).itemsize
-    # whole-row kernel while the (n, n) live set fits VMEM, blocked
-    # kernel beyond; off-TPU (or geometry with no fitting block) falls
-    # back to the eager einsum recompute
-    if jax.default_backend() not in ("cpu",) \
-            and _bwd_block_q(n, q.shape[-1], bpe):
-        return fused_heads_attention_bwd(q, k, v, g, num_heads)
+    # whole-row/blocked kernel while its live set fits VMEM; the
+    # long-series regime (N=4096+, where 7 full-row refs alone blow
+    # VMEM) runs the two-pass kernel; off-TPU (or geometry with no
+    # fitting block) falls back to the eager einsum recompute
+    if jax.default_backend() not in ("cpu",):
+        if _bwd_block_q(n, hd, bpe):
+            return fused_heads_attention_bwd(q, k, v, g, num_heads)
+        if _bwd_two_pass_blocks(n, hd, bpe):
+            return fused_heads_attention_bwd_two_pass(q, k, v, g,
+                                                      num_heads)
     _, vjp = jax.vjp(
         lambda a, b, c: _einsum_natural(a, b, c, num_heads), q, k, v)
     return vjp(g)

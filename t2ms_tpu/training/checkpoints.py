@@ -15,8 +15,23 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Optional
 
+import jax
 import numpy as np
 import orbax.checkpoint as ocp
+
+
+def _to_host(tree):
+    """Detach a pytree from its device sharding before saving.
+
+    Checkpoints written from a DP/TP mesh would otherwise embed that
+    mesh's sharding metadata, and a later restore (Orbax populates
+    sharding from file when the target gives none) re-commits the params
+    to the TRAINING topology — which crashes serving jits that mix them
+    with differently-placed arrays (e.g. mytrain on a 4-device mesh ->
+    myinfer single-device). Checkpoints are topology-neutral host data;
+    placement is the restorer's business."""
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(jax.device_get(x)), tree)
 
 __all__ = ["save_train_ckpt", "load_train_ckpt", "save_params",
            "load_params", "latest_step", "wait_for_saves",
@@ -51,7 +66,8 @@ class TrainCheckpointManager:
                             f"model_{step}.loss_history.npy")
 
     def save(self, step: int, params, opt_state, loss_history=None) -> None:
-        payload = {"params": params, "opt_state": opt_state,
+        payload = {"params": _to_host(params),
+                   "opt_state": _to_host(opt_state),
                    "step": np.asarray(step)}
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
         np.save(self._sidecar(step),
@@ -124,8 +140,8 @@ def save_train_ckpt(directory: str, step: int, params, opt_state,
     completes in the background (call ``wait_for_saves()`` before exit)."""
     path = os.path.abspath(os.path.join(directory, f"model_{step}"))
     payload = {
-        "params": params,
-        "opt_state": opt_state,
+        "params": _to_host(params),
+        "opt_state": _to_host(opt_state),
         "step": np.asarray(step),
     }
     ckptr = _async_ckptr() if asynchronous else _ckptr()
@@ -177,7 +193,7 @@ def load_train_ckpt(path: str, params_like, opt_state_like) -> Dict[str, Any]:
 def save_params(directory: str, params, name: str = "final_model") -> str:
     path = os.path.abspath(os.path.join(directory, name))
     ckptr = _ckptr()
-    ckptr.save(path, {"params": params}, force=True)
+    ckptr.save(path, {"params": _to_host(params)}, force=True)
     ckptr.wait_until_finished()
     return path
 

@@ -287,3 +287,39 @@ def test_fused_heads_blocked_bwd_matches_eager_vjp():
         np.testing.assert_allclose(
             np.asarray(got_i), np.asarray(want_i), rtol=1e-3, atol=1e-4,
             err_msg=f"d{name} mismatch (blocked)")
+
+
+def test_two_pass_bwd_matches_eager_vjp():
+    """The two-pass long-series backward (dq+stats pass, dk/dv pass) must
+    reproduce the eager einsum VJP. Run at a reduced N with explicit
+    blocks so interpret mode stays fast; the N=4096 envelope is asserted
+    separately and exercised on-chip by scripts/kernel_smoke.py."""
+    from t2ms_tpu.ops.attention import (_einsum_natural,
+                                        fused_heads_attention_bwd_two_pass)
+    ks = jax.random.split(jax.random.key(50), 4)
+    q, k, v = (jax.random.normal(kk, (2, 256, 128)) for kk in ks[:3])
+    g = jax.random.normal(ks[3], (2, 256, 128))
+    _, vjp = jax.vjp(lambda a, b, c: _einsum_natural(a, b, c, 4), q, k, v)
+    want = vjp(g)
+    got = fused_heads_attention_bwd_two_pass(q, k, v, g, 4,
+                                             blocks=(64, 128, 128),
+                                             interpret=True)
+    for got_i, want_i, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(got_i), np.asarray(want_i), rtol=1e-3, atol=1e-4,
+            err_msg=f"d{name} mismatch")
+
+
+def test_two_pass_bwd_envelope_admits_sushi_scale():
+    """N=4096 @ HD=128 (the SUSHI long-series training geometry) must now
+    have a VMEM-fitting backward (VERDICT r2 #3) — and the envelope still
+    refuses what it can't hold."""
+    from t2ms_tpu.ops.attention import (_bwd_block_q, _bwd_two_pass_blocks)
+    assert _bwd_block_q(4096, 128, 2) == 0       # single-pass can't
+    blocks = _bwd_two_pass_blocks(4096, 128, 2)  # two-pass can
+    assert blocks is not None
+    bq, bk, cq = blocks
+    assert 4096 % bq == 0 and 4096 % bk == 0 and 4096 % cq == 0
+    # ragged / tiny shapes stay unsupported
+    assert _bwd_two_pass_blocks(100, 128, 2) is None
+    assert _bwd_two_pass_blocks(128, 128, 2) is None
