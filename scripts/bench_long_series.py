@@ -61,6 +61,56 @@ def run(attention_impl: str, B: int, steps: int, out_len: int,
     }
 
 
+def run_train(bwd_mode: str, B: int, out_len: int, latent_len: int,
+              n_steps: int = 6):
+    """Long-series TRAINING step (the round-2 gap): DiT at 4096 patch
+    tokens, one jitted step. bwd_mode selects the attention backward:
+      kernel — the dispatcher's choice (two-pass Pallas at N=4096);
+      eager  — _bwd_two_pass_blocks disabled, i.e. the round-2 fallback
+               (fused fwd + eager einsum VJP materializing (B,H,N,N)).
+    """
+    import optax
+
+    from t2ms_tpu.models.denoisers import DiT
+    from t2ms_tpu.models.vae import LAVAE
+    from t2ms_tpu.ops import attention as A
+    from t2ms_tpu.training.trainer import (TrainState,
+                                           make_denoiser_train_step)
+
+    saved = A._bwd_two_pass_blocks
+    if bwd_mode == "eager":
+        A._bwd_two_pass_blocks = lambda *a, **k: None
+    try:
+        dit = DiT(latent_len=latent_len, latent_dim=64,
+                  compute_dtype=jnp.bfloat16)
+        vae = LAVAE(in_channels=1, latent_grid=latent_len)
+        x = jax.random.normal(jax.random.key(0), (B, out_len))
+        emb = jax.random.normal(jax.random.key(1), (B, 128))
+        vp = vae.init(jax.random.key(2), x)
+        z, _ = vae.apply(vp, x, method=vae.encode)
+        dp = dit.init(jax.random.key(3), z, jnp.zeros(B), emb)
+        opt = optax.adamw(1e-4)
+        st = TrainState(dp, opt.init(dp), jnp.zeros((), jnp.int32))
+        step = make_denoiser_train_step(dit, vae, opt, "flowmatching", 100,
+                                        donate=False)
+        st, loss = step(st, vp, jax.random.key(4), x, emb)
+        np.asarray(loss)                 # sync through the tunnel
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            st, loss = step(st, vp, jax.random.key(5 + i), x, emb)
+            np.asarray(loss)
+        dt = (time.perf_counter() - t0) / n_steps
+    finally:
+        A._bwd_two_pass_blocks = saved
+    return {
+        "metric": f"long_series_train_{bwd_mode}",
+        "ms_per_step": round(1e3 * dt, 2),
+        "steps_per_sec": round(1.0 / dt, 3),
+        "tokens": (latent_len // 2) * 32, "batch": B,
+        "loss": float(loss),
+    }
+
+
 def main():
     import argparse
     ap = argparse.ArgumentParser()
@@ -69,7 +119,17 @@ def main():
     ap.add_argument("--out_len", type=int, default=2048)
     ap.add_argument("--latent_len", type=int, default=256)
     ap.add_argument("--impls", default="auto,einsum")
+    ap.add_argument("--train", action="store_true",
+                    help="bench the TRAINING step (kernel vs eager bwd) "
+                         "instead of sampling")
+    ap.add_argument("--train_batch", type=int, default=8)
     args = ap.parse_args()
+    if args.train:
+        for mode in ("kernel", "eager"):
+            res = run_train(mode, args.train_batch, args.out_len,
+                            args.latent_len)
+            print(json.dumps(res), flush=True)
+        return
     for impl in args.impls.split(","):
         res = run(impl, args.batch, args.steps, args.out_len,
                   args.latent_len)

@@ -156,6 +156,31 @@ def main():
             q, k, v, g)
         _check("two_pass_bwd_4096", got, bwd_oracle(q, k, v, g), results, ms)
 
+    # --- scaled geometry HD=512 (d_model=512, 8 heads, 1024 tokens) ---
+    def bwd_oracle8(q, k, v, g):
+        f32 = lambda x: x.astype(jnp.float32)
+        _, vjp = jax.vjp(lambda a, b, c: A._einsum_natural(a, b, c, 8),
+                         f32(q), f32(k), f32(v))
+        return vjp(f32(g))
+
+    if want_run("scaled_fwd"):
+        assert A.fused_heads_block_q(1024, 512, 2), "envelope regressed"
+        q, k, v, _ = _nat(11, 2, 1024, 512, dt)
+        want = A._einsum_natural(*(x.astype(jnp.float32)
+                                   for x in (q, k, v)), 8)
+        got, ms = _timed(jax.jit(lambda a, b, c:
+                                 A.fused_heads_attention(a, b, c, 8)),
+                         q, k, v)
+        _check("scaled_fwd_1024_hd512", got, want, results, ms)
+    if want_run("scaled_bwd"):
+        assert A._bwd_two_pass_blocks(1024, 512, 2), "envelope regressed"
+        q, k, v, g = _nat(12, 2, 1024, 512, dt)
+        got, ms = _timed(
+            jax.jit(lambda *a: A.fused_heads_attention_bwd_two_pass(*a, 8)),
+            q, k, v, g)
+        _check("scaled_bwd_1024_hd512", got, bwd_oracle8(q, k, v, g),
+               results, ms)
+
     # --- fused DiT block + stack at the serving geometry ---
     if want_run("dit"):
         B, N, D, hidden, L = 8, 480, 128, 256, 4

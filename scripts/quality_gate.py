@@ -31,9 +31,14 @@ def main():
                     choices=["flowmatching", "ddpm"])
     ap.add_argument("--denoiser", default="DiT", choices=["DiT", "MLP"])
     ap.add_argument("--cfg_scale", type=float, default=3.0)
-    ap.add_argument("--track", default="t2s", choices=["t2s", "motion"],
+    ap.add_argument("--track", default="t2s",
+                    choices=["t2s", "motion", "deadlift"],
                     help="t2s: univariate latent 30x64; motion: 10-feature "
-                         "multivariate conv VAE with flow_dim latent")
+                         "multivariate conv VAE with flow_dim latent "
+                         "(benchpress geometry); deadlift: 7 features over "
+                         "length buckets 48/96/192 with the single-embedding "
+                         "schema (reference deadlift/dataset.py:97-114, "
+                         "config.yaml:58-103)")
     ap.add_argument("--latent_grid", type=int, default=0,
                     help="latent length override; 0 = track default for DiT "
                          "(30/64), reference geometry 6 for MLP (the "
@@ -41,12 +46,21 @@ def main():
     ap.add_argument("--f32", action="store_true",
                     help="denoiser compute in f32 (torch-comparable) "
                          "instead of the bf16 serving config")
+    ap.add_argument("--attention_impl", default="auto",
+                    choices=["auto", "einsum", "flash", "packed"],
+                    help="force the DiT attention path — A/B harness for "
+                         "kernel-numerics effects on trained quality "
+                         "(VERDICT r2 #4: auto = fused Pallas fwd+bwd; "
+                         "einsum = the round-1 XLA path with eager VJP)")
     ap.add_argument("--cfg_sweep", default="",
                     help="comma list of extra cfg_scales to score "
                          "(MSE + C-FID) from the SAME trained model — "
                          "mirrors the reference's per-dataset op-point "
                          "sweeps; requires --eval_cfid")
     args = ap.parse_args()
+    if args.cfg_sweep and not args.eval_cfid:
+        ap.error("--cfg_sweep is scored inside the C-FID evaluation "
+                 "block; pass --eval_cfid too (ADVICE r2)")
 
     from t2ms_tpu.models.denoisers import DiT
     from t2ms_tpu.models.vae import LAVAE
@@ -59,13 +73,20 @@ def main():
                                    calculate_kd, calculate_mse,
                                    calculate_sd, calculate_wape)
 
-    # synthetic corpus: 8 frequency classes, text embedding = class one-hot
-    T, n_classes, B = 96, 8, args.batch
-    n_feat = 10 if args.track == "motion" else 1
+    # synthetic corpus: 8 frequency classes, text embedding = class one-hot.
+    # t2s/motion: one length bucket (96). deadlift: the reference's bucket
+    # family {split_base_num/2, split_base_num, split_base_num*2} =
+    # 48/96/192 (deadlift config.yaml: split_base_num 96; dataset.py
+    # windows at the three target lengths), 7 features, one embedding.
+    n_classes, B = 8, args.batch
+    multivariate = args.track in ("motion", "deadlift")
+    n_feat = {"t2s": 1, "motion": 10, "deadlift": 7}[args.track]
+    buckets = (48, 96, 192) if args.track == "deadlift" else (96,)
+    T = 96
     rng = np.random.default_rng(0)
-    tt = np.linspace(0, 1, T)
 
-    def make_batch(key_i, n):
+    def make_batch(key_i, n, T=T):
+        tt = np.linspace(0, 1, T)
         cls = rng.integers(0, n_classes, n)
         freqs = 1.0 + cls * 0.5
         # phase fixed per class so the text condition fully determines the
@@ -73,8 +94,8 @@ def main():
         phase = (cls * 0.7)[:, None]
         x = np.sin(2 * np.pi * freqs[:, None] * tt[None] + phase)
         x = (x + 1) / 2 + 0.02 * rng.standard_normal((n, T))
-        if args.track == "motion":
-            # 10 phase-shifted copies -> (n, 10, T), like joint-angle series
+        if multivariate:
+            # phase-shifted copies -> (n, F, T), like joint-angle series
             shifts = np.linspace(0, np.pi, n_feat)[None, :, None]
             base = np.sin(2 * np.pi * freqs[:, None, None] * tt[None, None]
                           + phase[:, :, None] + shifts)
@@ -85,16 +106,17 @@ def main():
         return x.astype(np.float32), emb, cls
 
     latent_len = args.latent_grid or (
-        64 if args.track == "motion" else
+        64 if multivariate else
         (6 if args.denoiser == "MLP" else 30))
-    if args.track == "motion":
+    if multivariate:
         vae = LAVAE(in_channels=n_feat, num_residual_layers=3,
                     latent_grid=latent_len, exact_length_output=True)
     else:
         vae = LAVAE(in_channels=1, latent_grid=latent_len)
     cdt = jnp.float32 if args.f32 else jnp.bfloat16
     if args.denoiser == "DiT":
-        dit = DiT(latent_len=latent_len, latent_dim=64, compute_dtype=cdt)
+        dit = DiT(latent_len=latent_len, latent_dim=64, compute_dtype=cdt,
+                  attention_impl=args.attention_impl)
     else:
         from t2ms_tpu.models.denoisers import MLPDenoiser
         dit = MLPDenoiser(feat_dim=64, latent_len=latent_len,
@@ -107,7 +129,7 @@ def main():
     sv = TrainState(vp, opt_v.init(vp), jnp.zeros((), jnp.int32))
     vstep = make_vae_train_step(vae, opt_v)
     for i in range(args.vae_steps):
-        x, _, _ = make_batch(i, B)
+        x, _, _ = make_batch(i, B, buckets[i % len(buckets)])
         sv, (vloss, recon_err) = vstep(sv, jnp.asarray(x))
     vp = sv.params
     print(f"VAE recon error after {args.vae_steps} steps: "
@@ -120,7 +142,7 @@ def main():
     sd = TrainState(dp, opt_d.init(dp), jnp.zeros((), jnp.int32))
     dstep = make_denoiser_train_step(dit, vae, opt_d, args.backbone, 100)
     for i in range(args.steps):
-        x, e, _ = make_batch(1000 + i, B)
+        x, e, _ = make_batch(1000 + i, B, buckets[i % len(buckets)])
         sd, dloss = dstep(sd, vp, jax.random.key(i), jnp.asarray(x),
                           jnp.asarray(e))
         if i % 300 == 0:
@@ -129,38 +151,48 @@ def main():
 
     # --- sample + evaluate (optionally sweeping cfg_scale like the
     # reference's scripts/script.sh per-dataset op-point tuning) ---
-    n_eval = 128
-    x_gt, e_gt, cls = make_batch(99999, n_eval)
+    n_eval = 128 // len(buckets) * len(buckets) or len(buckets)
+    per_bucket_n = n_eval // len(buckets)
+    evals = {L: make_batch(99999 + L, per_bucket_n, L) for L in buckets}
 
-    def sample_at(cfg_scale):
+    def sample_at(cfg_scale, L):
         sampler = make_cfg_sampler(dit, vae, args.backbone, 100,
-                                   cfg_scale, T)
+                                   cfg_scale, L)
+        x_gt, e_gt, _ = evals[L]
         out = sampler(sd.params, vp, jax.random.key(42),
                       jnp.asarray(x_gt), jnp.asarray(e_gt))
         return np.asarray(out.series)
 
     def to_ntd(a):
-        return (np.transpose(a, (0, 2, 1)) if args.track == "motion"
-                else a[:, :, None])
+        return np.transpose(a, (0, 2, 1)) if multivariate else a[:, :, None]
 
-    ntd_gt = to_ntd(x_gt)
-    gen = sample_at(args.cfg_scale)
-    ntd_gen = to_ntd(gen)
+    metric_fns = {"MSE": calculate_mse, "WAPE": calculate_wape,
+                  "DTW": calculate_dtw, "ACD": calculate_acd,
+                  "SD": calculate_sd, "KD": calculate_kd}
+    per_bucket = {}
+    for L in buckets:
+        ntd_gt = to_ntd(evals[L][0])
+        ntd_gen = to_ntd(sample_at(args.cfg_scale, L))
+        row = {k: f(ntd_gt, ntd_gen) for k, f in metric_fns.items()}
+        # noise floor: what a random sampler would score
+        row["MSE_noise_floor"] = calculate_mse(
+            ntd_gt, rng.uniform(0, 1, ntd_gen.shape))
+        per_bucket[L] = row
     res = {
         "vae_recon_error": float(recon_err),
         "final_train_loss": float(dloss),
-        "MSE": calculate_mse(ntd_gt, ntd_gen),
-        "WAPE": calculate_wape(ntd_gt, ntd_gen),
-        "DTW": calculate_dtw(ntd_gt, ntd_gen),
-        "ACD": calculate_acd(ntd_gt, ntd_gen),
-        "SD": calculate_sd(ntd_gt, ntd_gen),
-        "KD": calculate_kd(ntd_gt, ntd_gen),
     }
-    # noise floor: what a random sampler would score
-    noise = rng.uniform(0, 1, ntd_gen.shape)
-    res["MSE_noise_floor"] = calculate_mse(ntd_gt, noise)
+    for k in list(metric_fns) + ["MSE_noise_floor"]:
+        res[k] = float(np.mean([per_bucket[L][k] for L in buckets]))
+    if len(buckets) > 1:
+        res["per_bucket"] = {str(L): per_bucket[L] for L in buckets}
+    # keep the single-bucket eval batch around for the C-FID block
+    T = buckets[min(1, len(buckets) - 1)] if len(buckets) > 1 else T
+    x_gt, e_gt, cls = evals[T]
     if args.eval_cfid:
         from t2ms_tpu.evaluate import calculate_fid, initialize_ts2vec
+        ntd_gt = to_ntd(x_gt)
+        ntd_gen = to_ntd(sample_at(args.cfg_scale, T))
         m = initialize_ts2vec(ntd_gt.astype(np.float32), None)
         r1 = m.encode(ntd_gt.astype(np.float32),
                       encoding_window="full_series")
@@ -170,7 +202,7 @@ def main():
         if args.cfg_sweep:
             sweep = {}
             for cs in (float(s) for s in args.cfg_sweep.split(",")):
-                g = to_ntd(sample_at(cs)).astype(np.float32)
+                g = to_ntd(sample_at(cs, T)).astype(np.float32)
                 sweep[str(cs)] = {
                     "MSE": calculate_mse(ntd_gt, g),
                     "C-FID": calculate_fid(

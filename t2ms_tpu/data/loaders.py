@@ -29,6 +29,10 @@ class ArrayBatch:
     bucket: int                   # series length of this bucket
     subjects: Optional[List[str]] = None
     extra_embedding: Optional[np.ndarray] = None  # e.g. summary embedding
+    valid: Optional[np.ndarray] = None  # (B,) bool; None = all rows real.
+    # Set only when a multi-host tail batch was wrap-padded: wrapped
+    # (duplicated) rows carry False so evaluation pipelines can drop
+    # them instead of double-counting (ADVICE r2).
 
     def __len__(self):
         return self.x.shape[0]
@@ -60,22 +64,26 @@ class BucketBatcher:
         self.process_index = process_index
         self.process_count = process_count
 
-    def _local_slice(self, idx: np.ndarray) -> np.ndarray:
+    def _local_slice(self, idx: np.ndarray):
+        """-> (local_idx, valid_mask-or-None)."""
         pc, pi = self.process_count, self.process_index
         if pc is None:
             import jax
             pc, pi = jax.process_count(), jax.process_index()
         if pc <= 1:
-            return idx
+            return idx, None
         # every process must contribute an equal-sized slice (the global
         # assembly requires consistent shapes), so a tail batch that does
         # not divide evenly is padded BY WRAPPING — no rows are silently
-        # dropped and no mid-epoch error on small final batches
+        # dropped and no mid-epoch error on small final batches. The
+        # wrapped (duplicated) rows are flagged False in the valid mask
+        # so evaluation consumers can drop them (ADVICE r2).
         per = -(-len(idx) // pc)
         if per * pc != len(idx):
             pad = np.resize(idx, per * pc)
-            return pad[pi * per:(pi + 1) * per]
-        return idx[pi * per:(pi + 1) * per]
+            pos = np.arange(pi * per, (pi + 1) * per)
+            return pad[pi * per:(pi + 1) * per], pos < len(idx)
+        return idx[pi * per:(pi + 1) * per], None
 
     def __len__(self):
         n = 0
@@ -106,7 +114,7 @@ class BucketBatcher:
         order = rng.permutation(len(slots))
         for i in order:
             length, idx = slots[i]
-            idx = self._local_slice(idx)
+            idx, valid = self._local_slice(idx)
             data = self.buckets[length]
             yield ArrayBatch(
                 x=data["x"][idx],
@@ -117,6 +125,7 @@ class BucketBatcher:
                           if "subjects" in data else None),
                 extra_embedding=(data["extra_embedding"][idx]
                                  if "extra_embedding" in data else None),
+                valid=valid,
             )
 
     @staticmethod

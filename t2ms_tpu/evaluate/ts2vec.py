@@ -298,6 +298,8 @@ class TS2Vec:
             ~np.isnan(train_data).all(axis=2).all(axis=1)]
 
         n = train_data.shape[0]
+        if n == 0:          # every row all-NaN: nothing to fit (ADVICE r2)
+            return []
         ts_l = train_data.shape[1]
         bs = min(self.batch_size, n)
         per_epoch = max((n - bs) // bs + 1, 1) if n >= bs else 0

@@ -21,9 +21,12 @@ import jax.numpy as jnp
 
 from t2ms_tpu.models.denoisers.dit import (sinusoidal_positions,
                                            time_embedding)
-from t2ms_tpu.ops.dit_block import fused_dit_stack
+from t2ms_tpu.ops.dit_block import (block_vjp_supported,
+                                    fused_dit_block_diffable,
+                                    fused_dit_stack)
 
-__all__ = ["fast_dit_forward", "fast_forward_supported"]
+__all__ = ["fast_dit_forward", "fast_forward_supported",
+           "fast_dit_train_forward", "train_forward_supported"]
 
 
 def fast_forward_supported(dit) -> bool:
@@ -46,6 +49,81 @@ def fast_forward_supported(dit) -> bool:
     acts = (pc * D * 4 + pc * 3 * D + pc * hidden) * bpe   # x,y,attn,res + qkv + h1
     scores = pc * pc * 4 * 2            # one head's f32 scores + exp copy
     return weights + acts + scores < 12 * 2 ** 20   # head-room under 16 MB
+
+
+def train_forward_supported(dit) -> bool:
+    """Gate for the TRAINING fast path (per-block custom VJP): the
+    backward kernel's vjp residuals are much fatter than the serving
+    stack's live set, so the envelope is its own
+    (ops.dit_block.block_vjp_supported)."""
+    pc = (dit.latent_len // dit.patch_size) * (dit.latent_dim
+                                               // dit.patch_size)
+    if dit.d_model % dit.num_heads or getattr(dit, "attention_impl",
+                                              "auto") != "auto":
+        return False
+    return block_vjp_supported(pc, dit.d_model,
+                               int(dit.d_model * dit.mlp_ratio),
+                               dit.num_heads,
+                               jnp.dtype(dit.compute_dtype).itemsize)
+
+
+def fast_dit_train_forward(dit, params, x: jnp.ndarray, t: jnp.ndarray,
+                           text_emb: Optional[jnp.ndarray] = None,
+                           text_mask: Optional[jnp.ndarray] = None,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Differentiable twin of fast_dit_forward for the TRAINING step:
+    same pure-function mirror of DiT.__call__ over the same param tree,
+    but each transformer block is a fused_dit_block_diffable whose
+    forward AND backward are single Pallas programs (ops/dit_block.py) —
+    attacking the train-step profile's long tail of small XLA fusions
+    (TODO.md round-2 pointer). Patchify/unpatch/final-LN/conditioning
+    stay XLA (differentiable jnp ops; measured MXU-hostile in-kernel)."""
+    p = params["params"]
+    B = x.shape[0]
+    H, W, pz = dit.latent_len, dit.latent_dim, dit.patch_size
+    nh, nw = H // pz, W // pz
+    pc = nh * nw
+    dtype = dit.compute_dtype
+
+    def dense(h, q):
+        return h @ q["kernel"].astype(dtype) + q["bias"].astype(dtype)
+
+    img = x.astype(dtype).transpose(0, 2, 1)
+    patches = img.reshape(B, nh, pz, nw, pz).transpose(0, 1, 3, 2, 4)
+    patches = patches.reshape(B, pc, pz * pz)
+    h = dense(dense(patches, p["patch_conv"]), p["patch_emb"])
+    h = h + sinusoidal_positions(pc, dit.d_model).astype(dtype)[None]
+
+    c = time_embedding(t, dit.d_model).astype(dtype)
+    if text_emb is not None:
+        te = text_emb.astype(dtype)
+        if text_mask is not None:
+            te = te * text_mask[:, None].astype(dtype)
+        c = c + te
+    silu_c = jax.nn.silu(c)
+
+    for i in range(dit.depth):
+        bp = p[f"block_{i}"]
+        mod = dense(silu_c, bp["adaLN_modulation"]).reshape(B, 6,
+                                                           dit.d_model)
+        a, m = bp["attn"], bp["mlp"]
+        h = fused_dit_block_diffable(
+            h, mod, a["qkv"]["kernel"], a["qkv"]["bias"],
+            a["proj"]["kernel"], a["proj"]["bias"],
+            m["fc1"]["kernel"], m["fc1"]["bias"],
+            m["fc2"]["kernel"], m["fc2"]["bias"],
+            dit.num_heads, interpret)
+
+    hf = h.astype(jnp.float32)
+    mu = jnp.mean(hf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(hf - mu), axis=-1, keepdims=True)
+    hf = (hf - mu) * jax.lax.rsqrt(var + 1e-5)
+    h = (hf * p["final_ln"]["scale"].astype(jnp.float32)
+         + p["final_ln"]["bias"].astype(jnp.float32)).astype(dtype)
+    h = dense(h, p["unpatch"])
+    out = h.reshape(B, nh, nw, pz, pz).transpose(0, 1, 3, 2, 4)
+    out = out.reshape(B, H, W).transpose(0, 2, 1)
+    return out.astype(x.dtype)
 
 
 def fast_dit_forward(dit, params, x: jnp.ndarray, t: jnp.ndarray,

@@ -250,7 +250,12 @@ def attn_heads_natural(q_all, k_all, v_all, num_heads: int, scale: float):
         s = jax.lax.dot_general(                      # (N, N) scores, f32
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # Mosaic needs f32 acc
-        m = jnp.max(s, axis=-1, keepdims=True)
+        # stop_gradient on the row max is EXACT (softmax and its
+        # normalized PV output are shift-invariant, so dp/dm = 0
+        # analytically) and halves the autodiff residual set when this
+        # code is differentiated inside the block-VJP kernel: neither
+        # the f32 score matrix nor the max-VJP mask must be kept.
+        m = jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
         e = jnp.exp((s - m).astype(q.dtype))          # exp at input width
         r = jnp.sum(e.astype(jnp.float32), axis=-1)   # (N,) f32
         o = jax.lax.dot_general(
@@ -303,7 +308,16 @@ def fused_heads_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if block_q is None:
         block_q = fused_heads_block_q(N, HD, jnp.dtype(q.dtype).itemsize)
         if not block_q:
-            block_q = N
+            # geometry outside the kernel envelope (ragged N, too short,
+            # or VMEM-exceeding): honor the documented contract and fall
+            # back to the einsum path instead of running an unvalidated
+            # whole-row kernel on chip (ADVICE r2). Interpret mode keeps
+            # the whole-row kernel so CPU tests exercise the kernel math
+            # at tiny shapes.
+            if interpret:
+                block_q = N
+            else:
+                return _einsum_natural(q, k, v, num_heads, scale)
     if N % block_q != 0:
         # a partial trailing q-block would silently leave output rows
         # unwritten — refuse rather than return garbage

@@ -11,10 +11,16 @@ reads x once (63 MB/layer at the op-point) and writes x once; everything
 between lives in VMEM. Weight matrices (~0.33 MB bf16) replicate to every
 program; per-sample adaLN vectors ride along as a (6, D) block.
 
-Serving-only: the CFG sampler never differentiates, so there is no VJP —
-training keeps the flax/XLA path (models/denoisers/dit.py). Reference
-block semantics: transformer.py:94-124 (adaLN-zero), timm Mlp with
-approximate GELU (transformer.py:100,105).
+Round 3 adds a TRAINING path: ``fused_dit_block_diffable`` is a
+custom_vjp whose backward is ONE Pallas program per batch element that
+re-runs ``jax.vjp`` over the SAME ``_block_math`` entirely in VMEM —
+activations, probabilities and all intermediate grads never touch HBM,
+and per-layer weight grads accumulate across the batch grid in f32 VMEM
+scratch. This attacks the round-2 train-step profile's 61 ms long tail
+of small XLA fusions (TODO.md): the whole block fwd+bwd is two HBM
+round-trips of x instead of dozens. Reference block semantics:
+transformer.py:94-124 (adaLN-zero), timm Mlp with approximate GELU
+(transformer.py:100,105).
 """
 
 from __future__ import annotations
@@ -25,10 +31,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from t2ms_tpu.ops.attention import attn_heads_natural
 
-__all__ = ["fused_dit_block", "fused_dit_stack", "dit_block_reference"]
+__all__ = ["fused_dit_block", "fused_dit_stack", "dit_block_reference",
+           "fused_dit_block_diffable", "block_vjp_supported"]
 
 
 def _ln(x, eps):
@@ -170,6 +178,128 @@ def fused_dit_stack(x: jnp.ndarray, mod: jnp.ndarray, wqkv, bqkv, wproj,
         interpret=interpret,
     )(x, mod, w(wqkv), w(bqkv), w(wproj), w(bproj), w(wfc1), w(bfc1),
       w(wfc2), w(bfc2))
+
+
+def _block_vjp_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                      bproj_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+                      dy_ref,
+                      dx_ref, dmod_ref, dwqkv_ref, dbqkv_ref, dwproj_ref,
+                      dbproj_ref, dwfc1_ref, dbfc1_ref, dwfc2_ref,
+                      dbfc2_ref,
+                      *accs, num_heads: int, eps: float,
+                      compute_dtype):
+    """Backward of one adaLN-zero block, one program per batch element.
+
+    ``jax.vjp`` over the shared ``_block_math`` runs INSIDE the kernel:
+    Mosaic compiles the transposed matmuls, softmax VJP and GELU VJP on
+    VMEM values, so none of the (N, N) probability tensors or (N, D)
+    intermediate grads that dominate the XLA backward ever reach HBM.
+    Weights enter f32 and are cast to compute dtype inside the traced
+    function, so weight grads come back f32 (the cast's VJP) and
+    accumulate across the batch grid in f32 VMEM scratch — written to
+    the (constant-indexed) grad outputs by the last program."""
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    dt = compute_dtype
+
+    def f(x, mod, *ws):
+        return _block_math(x, mod, *(w.astype(dt) for w in ws),
+                           num_heads=num_heads, eps=eps)
+
+    ws = (wqkv_ref[...], bqkv_ref[...], wproj_ref[...], bproj_ref[...],
+          wfc1_ref[...], bfc1_ref[...], wfc2_ref[...], bfc2_ref[...])
+    out, vjp = jax.vjp(f, x_ref[0], mod_ref[0], *ws)
+    grads = vjp(dy_ref[0].astype(out.dtype))
+    dx_ref[0] = grads[0].astype(dx_ref.dtype)
+    dmod_ref[0] = grads[1].astype(dmod_ref.dtype)
+
+    @pl.when(b == 0)
+    def _zero():
+        for acc in accs:
+            acc[...] = jnp.zeros_like(acc)
+
+    for acc, dw in zip(accs, grads[2:]):
+        acc[...] += dw.astype(jnp.float32)
+
+    @pl.when(b == nb - 1)
+    def _flush():
+        outs = (dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref, dwfc1_ref,
+                dbfc1_ref, dwfc2_ref, dbfc2_ref)
+        for o, acc in zip(outs, accs):
+            o[...] = acc[...]
+
+
+def block_vjp_supported(n: int, d: int, hidden: int, num_heads: int,
+                        bpe: int = 2) -> bool:
+    """VMEM envelope for the block-VJP kernel: the vjp residuals keep
+    per-head (N, N) scores (f32) + probabilities (compute dtype) alive
+    simultaneously for ALL heads, plus the (N, 3D)/(N, hidden)
+    activations fwd+bwd, f32 weights (x2 for grads + scratch) and the
+    block refs (double-buffered). Calibrated against the measured
+    serving-kernel envelope; ~30% headroom under the 16 MB limit."""
+    if n % 8 != 0 or not (128 <= n <= 1024):
+        return False
+    heads_resid = num_heads * n * n * bpe        # e residual per head
+    head_transient = n * n * (8 + 2 * bpe)       # one head's bwd tiles
+    acts = 6 * n * (3 * d + hidden) * bpe        # fwd+bwd activations
+    weights = 5 * 4 * (d * 3 * d + d * d + 2 * d * hidden)  # w+grad+scratch
+    refs = 2 * 3 * n * d * bpe                   # x/dy/dx double-buffered
+    return (heads_resid + head_transient + acts + weights + refs
+            < 13 * 2 ** 20)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def fused_dit_block_diffable(x, mod, wqkv, bqkv, wproj, bproj, wfc1, bfc1,
+                             wfc2, bfc2, num_heads, interpret=False):
+    """Differentiable fused DiT block: Pallas forward (fused_dit_block)
+    + Pallas whole-block backward (_block_vjp_kernel). Weights in f32
+    (the param tree's dtype); activations run in x.dtype. Grad contract
+    matches flax exactly: dx/dmod in x.dtype's tree, weight grads f32."""
+    return fused_dit_block(x, mod, wqkv, bqkv, wproj, bproj, wfc1, bfc1,
+                           wfc2, bfc2, num_heads, interpret=interpret)
+
+
+def _fused_block_diff_fwd(x, mod, wqkv, bqkv, wproj, bproj, wfc1, bfc1,
+                          wfc2, bfc2, num_heads, interpret):
+    out = fused_dit_block(x, mod, wqkv, bqkv, wproj, bproj, wfc1, bfc1,
+                          wfc2, bfc2, num_heads, interpret=interpret)
+    return out, (x, mod, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2)
+
+
+def _fused_block_diff_bwd(num_heads, interpret, res, g):
+    x, mod, *ws = res
+    B, N, D = x.shape
+    hidden = ws[4].shape[1]
+    dt = x.dtype
+    f32 = jnp.float32
+    const = lambda *shape: pl.BlockSpec(
+        shape, lambda b: (0,) * len(shape))
+    w_specs = [const(D, 3 * D), const(1, 3 * D), const(D, D), const(1, D),
+               const(D, hidden), const(1, hidden), const(hidden, D),
+               const(1, D)]
+    w_shapes = [(D, 3 * D), (1, 3 * D), (D, D), (1, D), (D, hidden),
+                (1, hidden), (hidden, D), (1, D)]
+    bspec = pl.BlockSpec((1, N, D), lambda b: (b, 0, 0))
+    mspec = pl.BlockSpec((1, 6, D), lambda b: (b, 0, 0))
+    outs = pl.pallas_call(
+        functools.partial(_block_vjp_kernel, num_heads=num_heads,
+                          eps=1e-6, compute_dtype=dt),
+        out_shape=([jax.ShapeDtypeStruct((B, N, D), dt),
+                    jax.ShapeDtypeStruct((B, 6, D), dt)]
+                   + [jax.ShapeDtypeStruct(s, f32) for s in w_shapes]),
+        grid=(B,),
+        in_specs=[bspec, mspec] + w_specs + [bspec],
+        out_specs=[bspec, mspec] + w_specs,
+        scratch_shapes=[pltpu.VMEM(s, f32) for s in w_shapes],
+        interpret=interpret,
+    )(x, mod, *[w.reshape(s) for w, s in zip(ws, w_shapes)], g)
+    dx, dmod = outs[0], outs[1]
+    dws = [d.reshape(w.shape) for d, w in zip(outs[2:], ws)]
+    return (dx, dmod, *dws)
+
+
+fused_dit_block_diffable.defvjp(_fused_block_diff_fwd,
+                                _fused_block_diff_bwd)
 
 
 def dit_block_reference(x, mod, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2,

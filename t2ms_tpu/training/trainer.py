@@ -47,6 +47,24 @@ def encode_with_vae(vae_model, vae_params, x):
     return jax.lax.stop_gradient(z), jax.lax.stop_gradient(before)
 
 
+def _training_forward(denoiser):
+    """Pick the training forward: the per-block fused custom-VJP path for
+    the DiT on TPU when its geometry fits the block-VJP VMEM envelope
+    (whole block fwd AND bwd each one Pallas program — see
+    ops/dit_block.py), flax apply otherwise. Same opt-out contract as the
+    sampler's _serving_forward: an explicit attention_impl disables it."""
+    from t2ms_tpu.models.denoisers.dit import DiT
+    if isinstance(denoiser, DiT) \
+            and getattr(denoiser, "attention_impl", "auto") == "auto" \
+            and jax.default_backend() not in ("cpu",):
+        from t2ms_tpu.models.denoisers.dit_fast import (
+            fast_dit_train_forward, train_forward_supported)
+        if train_forward_supported(denoiser):
+            return lambda params, x, t, e, m: fast_dit_train_forward(
+                denoiser, params, x, t, e, m)
+    return lambda params, x, t, e, m: denoiser.apply(params, x, t, e, m)
+
+
 def make_denoiser_train_step(
     denoiser,
     vae_model,
@@ -76,6 +94,7 @@ def make_denoiser_train_step(
              if backbone == "ddpm" else None)
     if backbone not in ("flowmatching", "ddpm"):
         raise ValueError(f"Unsupported backbone type: {backbone}")
+    denoiser_forward = _training_forward(denoiser)
 
     def loss_fn(params, vae_params, key, x, text_emb):
         z, _ = encode_with_vae(vae_model, vae_params, x)
@@ -98,7 +117,7 @@ def make_denoiser_train_step(
         keep = (jax.random.uniform(named_fold(key, "cfg"), ())
                 >= cfg_drop_prob).astype(x_t.dtype)
         mask = jnp.broadcast_to(keep, (z.shape[0],))
-        pred = denoiser.apply(params, x_t, t, text_emb, mask)
+        pred = denoiser_forward(params, x_t, t, text_emb, mask)
         return jnp.mean(jnp.square(pred - target))
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())

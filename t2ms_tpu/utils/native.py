@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import ctypes
 import glob
+import hashlib
 import os
 import subprocess
 from typing import Optional
@@ -19,22 +20,38 @@ def native_dir() -> str:
         os.path.dirname(os.path.abspath(__file__)))), "native")
 
 
+def _sources_hash(sources) -> str:
+    h = hashlib.sha256()
+    for s in sources:
+        with open(s, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
 def load_native() -> Optional[ctypes.CDLL]:
     global _LIB
     if _LIB is not None:
         return _LIB
     nd = native_dir()
     so = os.path.join(nd, "libt2ms_native.so")
+    hash_file = so + ".srchash"
     sources = sorted(glob.glob(os.path.join(nd, "*.cpp")))
     if not sources:
         return None
-    rebuild = (not os.path.exists(so)
-               or any(os.path.getmtime(s) > os.path.getmtime(so)
-                      for s in sources))
-    if rebuild:
+    # content-hash staleness guard (VERDICT r2 #9): mtimes are unreliable
+    # after a git checkout (everything gets checkout time), so a stale
+    # prebuilt .so could silently shadow edited sources
+    want_hash = _sources_hash(sources)
+    have_hash = ""
+    if os.path.exists(hash_file):
+        with open(hash_file) as f:
+            have_hash = f.read().strip()
+    if not os.path.exists(so) or have_hash != want_hash:
         try:
             subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", so]
                            + sources, check=True, capture_output=True)
+            with open(hash_file, "w") as f:
+                f.write(want_hash)
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
             print(f"native build failed ({e}); falling back to numpy paths")
             return None

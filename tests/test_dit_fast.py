@@ -95,3 +95,81 @@ def test_fused_stack_matches_per_block():
     got = fused_dit_stack(x, mods, num_heads=4, interpret=True, **ws)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-4, atol=5e-5)
+
+
+def test_fused_block_vjp_matches_reference_grads():
+    """The whole-block Pallas backward (jax.vjp over _block_math INSIDE
+    the kernel, weight grads accumulated across the batch grid) must
+    reproduce eager-reference gradients for every input."""
+    from t2ms_tpu.ops.dit_block import fused_dit_block_diffable
+    kw = _block_inputs(B=3)
+    names = list(kw)
+    args = [kw[n] for n in names]
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.square(
+            fused_dit_block_diffable(*a, 4, True)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.square(dit_block_reference(*a, 4)))
+
+    got = jax.grad(loss_fused, argnums=tuple(range(10)))(*args)
+    want = jax.grad(loss_ref, argnums=tuple(range(10)))(*args)
+    for g, w, n in zip(got, want, names):
+        assert g.shape == kw[n].shape and g.dtype == kw[n].dtype, n
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-3, atol=2e-4,
+            err_msg=f"d{n} mismatch")
+
+
+def test_fast_dit_train_forward_grads_match_flax():
+    """End-to-end training-path parity: grads of the fast train forward
+    (per-block fused custom VJP) vs flax DiT.apply grads on the SAME
+    param tree — the round-2 verdict's 'Done' check for item 2."""
+    from t2ms_tpu.models.denoisers.dit_fast import fast_dit_train_forward
+    dit = DiT(latent_len=8, latent_dim=32, d_model=64, depth=2,
+              num_heads=4, mlp_ratio=2.0)
+    B = 2
+    x = jax.random.normal(jax.random.key(0), (B, 32, 8))
+    t = jnp.array([0.25, 0.75])
+    emb = jax.random.normal(jax.random.key(1), (B, 64))  # d_model-sized
+    params = dit.init(jax.random.key(2), x, t, emb)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jax.random.normal(jax.random.key(3), p.shape),
+        params)
+    mask = jnp.array([0.0, 1.0])
+    tgt = jax.random.normal(jax.random.key(6), x.shape)
+
+    def loss_fast(p):
+        out = fast_dit_train_forward(dit, p, x, t, emb, mask,
+                                     interpret=True)
+        return jnp.mean(jnp.square(out - tgt))
+
+    def loss_flax(p):
+        return jnp.mean(jnp.square(dit.apply(p, x, t, emb, mask) - tgt))
+
+    lf, gf = jax.value_and_grad(loss_fast)(params)
+    lw, gw = jax.value_and_grad(loss_flax)(params)
+    np.testing.assert_allclose(float(lf), float(lw), rtol=1e-4)
+    flat_f = jax.tree_util.tree_leaves_with_path(gf)
+    flat_w = dict(jax.tree_util.tree_leaves_with_path(gw))
+    for path, g in flat_f:
+        w = flat_w[path]
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-3, atol=2e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_train_forward_supported_envelope():
+    from t2ms_tpu.models.denoisers.dit_fast import train_forward_supported
+    # reference geometry in the bf16 training config fits
+    assert train_forward_supported(
+        DiT(latent_len=30, latent_dim=64, compute_dtype=jnp.bfloat16))
+    # explicit attention_impl opts out (oracle/A-B runs)
+    assert not train_forward_supported(
+        DiT(latent_len=30, latent_dim=64, compute_dtype=jnp.bfloat16,
+            attention_impl="einsum"))
+    # scaled d_model=512 exceeds the block-VJP envelope
+    assert not train_forward_supported(
+        DiT(latent_len=64, latent_dim=64, d_model=512, depth=12,
+            num_heads=8, mlp_ratio=4.0, compute_dtype=jnp.bfloat16))

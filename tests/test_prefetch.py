@@ -103,6 +103,16 @@ def test_multihost_tail_batch_wraps_instead_of_raising():
     # union of the final (wrapped) batch still covers only real rows
     last_rows = np.concatenate([e[-1].x for e in epochs])
     assert last_rows.shape[0] == 4 * epochs[0][-1].x.shape[0]
+    # wrapped rows carry valid=False so eval pipelines can drop them
+    # instead of double-counting (ADVICE r2); full batches carry None
+    for e in epochs:
+        assert all(b.valid is None for b in e[:-1])
+    masks = [e[-1].valid for e in epochs]
+    assert all(m is not None for m in masks)
+    n_valid = int(np.concatenate(masks).sum())
+    assert n_valid == 3               # the real tail rows, exactly once
+    kept = np.concatenate([e[-1].x[m] for e, m in zip(epochs, masks)])
+    assert kept.shape[0] == 3 and np.unique(kept, axis=0).shape[0] == 3
 
 
 def test_myevaluation_skips_mismatched_sample():
