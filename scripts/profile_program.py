@@ -3,7 +3,7 @@ the top device ops, with XLA `fusion.N` names mapped back to source ops.
 
 Recipe (hard-won, see CLAUDE.md): jax.profiler.start_trace + run + host
 transfer (block_until_ready does not block through the tunnel) +
-stop_trace; sum `dur` of ph=="X" events in plugins/profile/*/\*.trace.json.gz;
+stop_trace; sum `dur` of ph=="X" events in the profile's *.trace.json.gz;
 then map fusion names via the compiled HLO's metadata.op_name.
 
 Usage:
@@ -30,17 +30,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_train(batch):
+def build_train(batch, scaled=False):
     import optax
 
     from t2ms_tpu.models.denoisers import DiT
     from t2ms_tpu.models.vae import LAVAE
     from t2ms_tpu.training.trainer import TrainState, make_denoiser_train_step
 
-    dit = DiT(latent_len=30, latent_dim=64, compute_dtype=jnp.bfloat16)
-    vae = LAVAE(in_channels=1, latent_grid=30)
+    if scaled:
+        # the 56.7M-param compute-ceiling geometry of bench_scaled.py
+        dit = DiT(latent_len=64, latent_dim=64, d_model=512, depth=12,
+                  num_heads=8, mlp_ratio=4.0, compute_dtype=jnp.bfloat16)
+        vae = LAVAE(in_channels=1, latent_grid=64)
+    else:
+        dit = DiT(latent_len=30, latent_dim=64, compute_dtype=jnp.bfloat16)
+        vae = LAVAE(in_channels=1, latent_grid=30)
     x = jax.random.normal(jax.random.key(0), (batch, 96))
-    emb = jax.random.normal(jax.random.key(1), (batch, 128))
+    emb = jax.random.normal(jax.random.key(1),
+                            (batch, 512 if scaled else 128))
     vp = vae.init(jax.random.key(2), x[:2])
     z, _ = vae.apply(vp, x[:2], method=vae.encode)
     dp = dit.init(jax.random.key(3), z, jnp.zeros(2), emb[:2])
@@ -94,10 +101,14 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--scaled", action="store_true",
+                    help="56.7M-param geometry (d=512, depth 12, heads 8, "
+                         "mlp x4; default batch 64) instead of reference")
     args = ap.parse_args()
 
     if args.what == "train":
-        run, lowered = build_train(args.batch or 1024)
+        run, lowered = build_train(args.batch or (64 if args.scaled
+                                                  else 1024), args.scaled)
     else:
         run, lowered = build_sample(args.batch or 256, args.steps)
 
