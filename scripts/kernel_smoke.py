@@ -180,6 +180,18 @@ def main():
             q, k, v, g)
         _check("scaled_bwd_1024_hd512", got, bwd_oracle8(q, k, v, g),
                results, ms)
+    if want_run("scaled_bwd_grouped"):
+        # the auto-dispatched scaled-train backward: 5-matmul single pass
+        # over lane-aligned head groups (profile-driven round-3 lever)
+        hg = A._bwd_head_groups(1024, 512, 8, 2)
+        assert hg, "head-group envelope regressed"
+        q, k, v, g = _nat(13, 2, 1024, 512, dt)
+        got, ms = _timed(
+            jax.jit(lambda *a: A.fused_heads_attention_bwd(
+                *a, 8, block_q=hg[1], head_groups=hg[0])),
+            q, k, v, g)
+        _check(f"scaled_bwd_grouped_g{hg[0]}_bq{hg[1]}", got,
+               bwd_oracle8(q, k, v, g), results, ms)
 
     # --- fused DiT block + stack at the serving geometry ---
     if want_run("dit"):

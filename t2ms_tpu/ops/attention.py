@@ -626,6 +626,43 @@ def fused_heads_attention_bwd_two_pass(q, k, v, g, num_heads: int,
     return dq, dk, dv
 
 
+def _bwd_head_groups(n: int, hd: int, num_heads: int, bpe: int = 2):
+    """(groups, block_q) for the LANE-BLOCKED single-pass backward, or
+    None. Heads are independent lane slices of the natural (N, H*D)
+    layout, so the grid can walk head groups: each (batch, group)
+    program sees only its (N, HD/groups) lane block of q/k/v/g/dq/dk/dv,
+    shrinking the 7 full-row refs that rule the single-pass kernel out
+    at HD=512 (14*N*HD*bpe = 14.7 MB there) by the group factor — with
+    ZERO extra HBM traffic (the lane blocks are disjoint). Keeps the
+    5-matmul single-pass backward where the ungrouped envelope
+    (_bwd_block_q) fails and the 7-matmul two-pass kernel was the only
+    fit (scaled-train profile 2026-08-17: two-pass = 7.2 ms/layer of
+    the 232 ms step at d_model=512). Groups must leave a lane-aligned
+    (multiple-of-128) block; HD=128 long-series stays two-pass.
+
+    Calibration (measured on-chip A/B at B=64, N=1024, HD=512 — see
+    BASELINE.md round-3): LARGE q-blocks dominate the ranking
+    (bq=512/g=2 = 342 ms vs two-pass 486 vs bq=128/g=2 = 522 per 20
+    reps), and the (2, 512) config — formula estimate 15.74 MB — runs
+    clean at the production geometry. Budget is pinned just above that
+    proven point; fewest groups first, then bq descending."""
+    if n % 8 != 0 or n < 128:
+        return None
+    d = hd // num_heads
+    budget = 15.8 * 2 ** 20
+    for g in (2, 4, 8, 16):
+        ghd = hd // g
+        if num_heads % g or ghd % 128 or ghd < d:
+            continue
+        refs = 14 * n * ghd * bpe
+        if refs >= budget:
+            continue
+        for bq in (512, 384, 256, 128, 64, 32):
+            if n % bq == 0 and bq * n * 16 + refs < budget:
+                return (g, bq)
+    return None
+
+
 def _bwd_block_q(n: int, hd: int, bpe: int = 2) -> int:
     """q-block for the Pallas backward. The whole-row kernel's live set is
     ~18 B per score element (s/p/dp f32 + e/ds compute-dtype + slack —
@@ -653,27 +690,43 @@ def _bwd_block_q(n: int, hd: int, bpe: int = 2) -> int:
 def fused_heads_attention_bwd(q, k, v, g, num_heads: int,
                               scale: Optional[float] = None,
                               block_q: Optional[int] = None,
+                              head_groups: int = 1,
                               interpret: bool = False):
     """Pallas backward pass for the natural-layout attention: inputs and
     upstream gradient g all (B, N, H*D); returns (dq, dk, dv). N beyond
-    the whole-row VMEM envelope runs the blocked kernel."""
+    the whole-row VMEM envelope runs the blocked kernel; head_groups > 1
+    additionally walks lane-aligned head groups on the grid's second
+    axis so the refs fit at wide HD (see _bwd_head_groups)."""
     B, N, HD = q.shape
     if scale is None:
         scale = (HD // num_heads) ** -0.5
-    spec = pl.BlockSpec((1, N, HD), lambda b: (b, 0, 0))
-    if block_q is None:
-        block_q = _bwd_block_q(N, HD, jnp.dtype(q.dtype).itemsize) or N
-    if block_q == N:
-        kernel = functools.partial(_fused_heads_bwd_kernel,
-                                   num_heads=num_heads, scale=scale)
-    else:
+    if head_groups > 1:
+        G = head_groups
+        ghd = HD // G
+        if HD % G or ghd % (HD // num_heads) or num_heads % G:
+            raise ValueError(f"head_groups {G} incompatible with "
+                             f"HD={HD}, num_heads={num_heads}")
+        spec = pl.BlockSpec((1, N, ghd), lambda b, gi: (b, 0, gi))
         kernel = functools.partial(_fused_heads_bwd_blocked_kernel,
-                                   num_heads=num_heads, scale=scale,
-                                   block_q=block_q)
+                                   num_heads=num_heads // G, scale=scale,
+                                   block_q=block_q or N)
+        grid = (B, G)
+    else:
+        spec = pl.BlockSpec((1, N, HD), lambda b: (b, 0, 0))
+        if block_q is None:
+            block_q = _bwd_block_q(N, HD, jnp.dtype(q.dtype).itemsize) or N
+        if block_q == N:
+            kernel = functools.partial(_fused_heads_bwd_kernel,
+                                       num_heads=num_heads, scale=scale)
+        else:
+            kernel = functools.partial(_fused_heads_bwd_blocked_kernel,
+                                       num_heads=num_heads, scale=scale,
+                                       block_q=block_q)
+        grid = (B,)
     return pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((B, N, HD), q.dtype)] * 3,
-        grid=(B,),
+        grid=grid,
         in_specs=[spec] * 4,
         out_specs=[spec] * 3,
         interpret=interpret,
@@ -696,13 +749,20 @@ def _fused_heads_bwd(num_heads, res, g):
     n = q.shape[1]
     hd = q.shape[-1]
     bpe = jnp.dtype(q.dtype).itemsize
-    # whole-row/blocked kernel while its live set fits VMEM; the
-    # long-series regime (N=4096+, where 7 full-row refs alone blow
-    # VMEM) runs the two-pass kernel; off-TPU (or geometry with no
-    # fitting block) falls back to the eager einsum recompute
+    # whole-row/blocked kernel while its live set fits VMEM; wide-HD
+    # geometries whose full-row refs overflow split into lane-aligned
+    # head groups (5-matmul single pass, the scaled d=512 winner); the
+    # long-series regime (N=4096+ at HD=128, where lane splitting
+    # bottoms out) runs the two-pass kernel; off-TPU (or geometry with
+    # no fitting block) falls back to the eager einsum recompute
     if jax.default_backend() not in ("cpu",):
         if _bwd_block_q(n, hd, bpe):
             return fused_heads_attention_bwd(q, k, v, g, num_heads)
+        hg = _bwd_head_groups(n, hd, num_heads, bpe)
+        if hg:
+            return fused_heads_attention_bwd(q, k, v, g, num_heads,
+                                             block_q=hg[1],
+                                             head_groups=hg[0])
         if _bwd_two_pass_blocks(n, hd, bpe):
             return fused_heads_attention_bwd_two_pass(q, k, v, g,
                                                       num_heads)

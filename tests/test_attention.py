@@ -323,3 +323,39 @@ def test_two_pass_bwd_envelope_admits_sushi_scale():
     # ragged / tiny shapes stay unsupported
     assert _bwd_two_pass_blocks(100, 128, 2) is None
     assert _bwd_two_pass_blocks(128, 128, 2) is None
+
+
+def test_head_grouped_bwd_matches_eager_vjp():
+    """The lane-blocked (head-grouped) single-pass backward — grid walks
+    (batch, head group), each program seeing a disjoint (N, HD/G) lane
+    slice — must reproduce the eager einsum VJP exactly like the
+    ungrouped kernel (heads are independent, so grouping is pure
+    blocking)."""
+    from t2ms_tpu.ops.attention import (_einsum_natural,
+                                        fused_heads_attention_bwd)
+    ks = jax.random.split(jax.random.key(60), 4)
+    q, k, v = (jax.random.normal(kk, (2, 96, 256)) for kk in ks[:3])
+    g = jax.random.normal(ks[3], (2, 96, 256))
+    _, vjp = jax.vjp(lambda a, b, c: _einsum_natural(a, b, c, 4), q, k, v)
+    want = vjp(g)
+    got = fused_heads_attention_bwd(q, k, v, g, 4, block_q=32,
+                                    head_groups=2, interpret=True)
+    for got_i, want_i, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(got_i), np.asarray(want_i), rtol=1e-3, atol=1e-4,
+            err_msg=f"d{name} mismatch (head-grouped)")
+
+
+def test_head_group_envelope():
+    """The scaled-train geometry (N=1024, HD=512, 8 heads) must admit a
+    head-grouped single-pass backward (the profile-driven round-3 lever:
+    5 matmuls vs the two-pass kernel's 7), while HD=128 long-series
+    (lane splitting bottoms out at 128 lanes) must not."""
+    from t2ms_tpu.ops.attention import _bwd_block_q, _bwd_head_groups
+    assert _bwd_block_q(1024, 512, 2) == 0          # full refs blow VMEM
+    hg = _bwd_head_groups(1024, 512, 8, 2)
+    assert hg is not None
+    g, bq = hg
+    assert 8 % g == 0 and (512 // g) % 128 == 0 and 1024 % bq == 0
+    assert _bwd_head_groups(4096, 128, 4, 2) is None
+    assert _bwd_head_groups(100, 512, 8, 2) is None
