@@ -4,9 +4,24 @@ The LA-VAE stacks (reference model/pretrained/vqvae.py, myvqvae.py) are
 built from Conv1d(k,s,p) and ConvTranspose1d(k,s,p) with torch semantics:
   conv   out = floor((T + 2p - k)/s) + 1
   convT  out = (T-1)*s - 2p + k
-We implement both over ``lax.conv_general_dilated`` in NCW layout (the
-transposed conv as input-dilation + flipped kernel — the standard algebraic
-equivalence), golden-tested vs torch in tests/test_conv1d.py.
+
+TPU lowering: these are NOT lax.conv ops. XLA realizes tiny NCW 1-D
+convolutions terribly on TPU — the round-3 scaled-train profile measured
+0.6-0.9 ms device time per VAE conv whose FLOP content is ~25 us (23
+convolution fusions = 18.2 ms of a 208 ms step, with the VAE frozen!).
+Both primitives therefore lower to single MXU matmuls:
+
+  Conv1d      im2col: K strided views stacked into (B, T_out, K*C),
+              contracted with the (K*C, O) reshaped kernel — one matmul
+              with a C*K-deep contraction (384 for the k3/c128 res convs).
+  ConvT1d     one (B*T, C) @ (C, O*K) matmul producing every tap, then K
+              interior-dilated shifted pads summed (lax.pad with negative
+              edge padding trims the torch `padding` crop) — the scatter
+              relation y[t*s + dk - p] += x[t] @ w[:, :, dk].
+
+Both are algebraically exact (same contraction, reassociated), golden-
+tested vs torch in tests/test_conv1d.py and through the full LA-VAE
+weight-transplant goldens.
 """
 
 from __future__ import annotations
@@ -17,8 +32,6 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["Conv1d", "ConvTranspose1d"]
-
-_DN = ("NCH", "OIH", "NCH")
 
 
 def _torch_conv_uniform(fan_in: int):
@@ -38,8 +51,47 @@ def _torch_conv_uniform(fan_in: int):
     return init
 
 
+def conv1d_matmul(x: jnp.ndarray, w: jnp.ndarray, stride: int,
+                  padding: int) -> jnp.ndarray:
+    """torch-semantics conv1d as one matmul: x (B, C, T), w (O, C, K)
+    -> (B, O, T_out)."""
+    B, C, T = x.shape
+    O, _, K = w.shape
+    if padding:
+        x = jnp.pad(x, ((0, 0), (0, 0), (padding, padding)))
+    T_out = (T + 2 * padding - K) // stride + 1
+    cols = [lax.slice_in_dim(x, dk, dk + (T_out - 1) * stride + 1,
+                             stride, axis=2) for dk in range(K)]
+    xcol = jnp.stack(cols, axis=1)                   # (B, K, C, T_out)
+    xcol = xcol.reshape(B, K * C, T_out).transpose(0, 2, 1)
+    wmat = w.transpose(2, 1, 0).reshape(K * C, O)    # K-major, matches xcol
+    return (xcol @ wmat).transpose(0, 2, 1)          # (B, O, T_out)
+
+
+def conv_transpose1d_matmul(x: jnp.ndarray, w: jnp.ndarray, stride: int,
+                            padding: int) -> jnp.ndarray:
+    """torch-semantics conv_transpose1d as one matmul + K shifted
+    interior-dilated pads: x (B, C, T), w (C, O, K) -> (B, O, L_out)
+    with L_out = (T-1)*stride - 2*padding + K."""
+    B, C, T = x.shape
+    _, O, K = w.shape
+    L_out = (T - 1) * stride - 2 * padding + K
+    dilated = (T - 1) * stride + 1
+    z = (x.transpose(0, 2, 1) @ w.reshape(C, O * K))  # (B, T, O*K)
+    z = z.reshape(B, T, O, K).transpose(0, 2, 1, 3)   # (B, O, T, K)
+    zero = jnp.zeros((), z.dtype)
+    y = None
+    for dk in range(K):
+        lo = dk - padding
+        part = lax.pad(z[..., dk], zero,
+                       [(0, 0, 0), (0, 0, 0), (lo, L_out - dilated - lo,
+                                               stride - 1)])
+        y = part if y is None else y + part
+    return y
+
+
 class Conv1d(nn.Module):
-    """torch-style Conv1d over (B, C, T)."""
+    """torch-style Conv1d over (B, C, T), lowered to one MXU matmul."""
     features: int
     kernel_size: int
     stride: int = 1
@@ -52,11 +104,7 @@ class Conv1d(nn.Module):
         init = _torch_conv_uniform(in_ch * self.kernel_size)
         w = self.param("kernel", init,
                        (self.features, in_ch, self.kernel_size))
-        y = lax.conv_general_dilated(
-            x, w.astype(x.dtype),
-            window_strides=(self.stride,),
-            padding=[(self.padding, self.padding)],
-            dimension_numbers=_DN)
+        y = conv1d_matmul(x, w.astype(x.dtype), self.stride, self.padding)
         if self.use_bias:
             b = self.param("bias", init, (self.features,))
             y = y + b.astype(y.dtype)[None, :, None]
@@ -64,8 +112,9 @@ class Conv1d(nn.Module):
 
 
 class ConvTranspose1d(nn.Module):
-    """torch-style ConvTranspose1d over (B, C, T): conv of the s-dilated
-    input with the flipped kernel, padded k-1-p per side."""
+    """torch-style ConvTranspose1d over (B, C, T), lowered to one MXU
+    matmul + K shifted dilated pads. Weight stored in torch convT layout
+    (in, out, k) for checkpoint parity."""
     features: int
     kernel_size: int
     stride: int = 1
@@ -78,17 +127,10 @@ class ConvTranspose1d(nn.Module):
         # torch fan_in = weight.size(1)*k = out_ch*k on the (in, out, k)
         # ConvTranspose layout
         init = _torch_conv_uniform(self.features * self.kernel_size)
-        # stored in torch convT layout (in, out, k) for checkpoint parity
         w = self.param("kernel", init,
                        (in_ch, self.features, self.kernel_size))
-        w_conv = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # (out, in, k)
-        pad = self.kernel_size - 1 - self.padding
-        y = lax.conv_general_dilated(
-            x, w_conv.astype(x.dtype),
-            window_strides=(1,),
-            padding=[(pad, pad)],
-            lhs_dilation=(self.stride,),
-            dimension_numbers=_DN)
+        y = conv_transpose1d_matmul(x, w.astype(x.dtype), self.stride,
+                                    self.padding)
         if self.use_bias:
             b = self.param("bias", init, (self.features,))
             y = y + b.astype(y.dtype)[None, :, None]
