@@ -264,6 +264,70 @@ def attn_heads_natural(q_all, k_all, v_all, num_heads: int, scale: float):
         yield h, sl, o / r[:, None]
 
 
+def attn_heads_folded(q_all, k_all, v_all, num_heads: int, scale: float):
+    """ALL heads' attention as TWO matmuls on natural (N, H*D) VALUES —
+    an in-kernel alternative to the ``attn_heads_natural`` per-head loop
+    for SMALL d_head where that loop issues 2H skinny matmuls with
+    pipeline bubbles between them.
+
+    Folding: scores for every head land lane-concatenated in one
+    S (N, H*N) = q @ Kblk matmul, where Kblk (H*D, H*N) holds each
+    head's transposed K block-diagonally (off-block zeros contribute
+    nothing); PV is one E (N, H*N) @ Vstk (H*N, H*D) matmul with V
+    placed block-diagonally. MXU pass count is identical to the loop
+    (K-depth d<128 already costs one pass either way) — the win is
+    2 big matmuls + one wide softmax instead of 2H small matmuls and
+    H skinny softmaxes interleaved. Softmax is segment-wise per head
+    on lane ranges, numerics identical to the loop (f32 scores, exact
+    rowwise softmax, exp at input width, f32 PV accumulation).
+
+    Returns the (N, H*D) f32 attention output (heads already merged)."""
+    H = num_heads
+    N, HD = q_all.shape
+    D = HD // H
+    dt = q_all.dtype
+    # Static block-diagonal assembly (dynamic_update_slice has no Mosaic
+    # lowering): each head's row block is [0 … K_h.T … 0] built by
+    # concatenation with Python-int offsets.
+    def blockdiag(rows_of, blkw):
+        out = []
+        for h in range(H):
+            parts = []
+            if h:
+                parts.append(jnp.zeros((rows_of(h).shape[0], h * blkw), dt))
+            parts.append(rows_of(h))
+            if h < H - 1:
+                parts.append(jnp.zeros((rows_of(h).shape[0],
+                                        (H - 1 - h) * blkw), dt))
+            out.append(jnp.concatenate(parts, axis=1) if len(parts) > 1
+                       else parts[0])
+        return jnp.concatenate(out, axis=0)
+
+    kblk = blockdiag(lambda h: k_all[:, h * D:(h + 1) * D].T, N)  # (H*D, H*N)
+    vstk = blockdiag(lambda h: v_all[:, h * D:(h + 1) * D], D)    # (H*N, H*D)
+    s = jax.lax.dot_general(                      # (N, H*N) scores, f32
+        q_all * jnp.asarray(scale, dt), kblk,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # segment-wise softmax: max/sum per head's N-lane range (exact; see
+    # attn_heads_natural for the stop_gradient rationale)
+    e_parts, r_parts = [], []
+    for h in range(H):
+        sh = s[:, h * N:(h + 1) * N]
+        m = jax.lax.stop_gradient(jnp.max(sh, axis=-1, keepdims=True))
+        eh = jnp.exp((sh - m).astype(dt))
+        e_parts.append(eh)
+        r_parts.append(jnp.sum(eh.astype(jnp.float32), axis=-1,
+                               keepdims=True))
+    e = jnp.concatenate(e_parts, axis=-1)         # (N, H*N)
+    o = jax.lax.dot_general(
+        e, vstk, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)       # (N, H*D) f32
+    r = jnp.concatenate([jnp.broadcast_to(rp, (N, D)) for rp in r_parts],
+                        axis=-1)                  # (N, H*D) f32
+    return o / r
+
+
 def fused_heads_block_q(n: int, hd: int, bpe: int = 2,
                         budget: int = 10 * 2 ** 20) -> int:
     """Largest q-block (multiple of 128, divisor of n; or n itself when

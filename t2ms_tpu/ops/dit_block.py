@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from t2ms_tpu.ops.attention import attn_heads_natural
+from t2ms_tpu.ops.attention import attn_heads_folded, attn_heads_natural
 
 __all__ = ["fused_dit_block", "fused_dit_stack", "dit_block_reference",
            "fused_dit_block_diffable", "block_vjp_supported"]
@@ -47,8 +47,19 @@ def _ln(x, eps):
     return (xf - mu) * jax.lax.rsqrt(var + eps)
 
 
+def _attn_merged(q, k, v, num_heads: int, scale: float, attn_impl: str):
+    """(N, D) merged-head attention output in the compute dtype, via the
+    per-head loop (default) or the folded two-matmul variant."""
+    if attn_impl == "folded":
+        return attn_heads_folded(q, k, v, num_heads, scale).astype(q.dtype)
+    parts = [None] * num_heads
+    for h, _, o in attn_heads_natural(q, k, v, num_heads, scale):
+        parts[h] = o.astype(q.dtype)
+    return jnp.concatenate(parts, axis=-1)
+
+
 def _block_math(x, mod, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
-                num_heads: int, eps: float):
+                num_heads: int, eps: float, attn_impl: str = "loop"):
     """One adaLN-zero block on VMEM values: x (N, D), mod (6, D), flax
     Dense-layout weights. Shared by the single-block and whole-stack
     kernels."""
@@ -66,10 +77,7 @@ def _block_math(x, mod, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
         + bqkv.astype(jnp.float32)).astype(dt)
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
     scale = (D // num_heads) ** -0.5
-    parts = [None] * num_heads
-    for h, _, o in attn_heads_natural(q, k, v, num_heads, scale):
-        parts[h] = o.astype(dt)
-    attn = jnp.concatenate(parts, axis=-1)            # (N, D)
+    attn = _attn_merged(q, k, v, num_heads, scale, attn_impl)   # (N, D)
     proj = (jax.lax.dot_general(
         attn, wproj, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -91,6 +99,42 @@ def _block_math(x, mod, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
     return x + g_m.astype(dt) * h2
 
 
+def _block_math_g(x, mod, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
+                  num_heads: int, eps: float, attn_impl: str = "loop"):
+    """G-batched adaLN-zero block on VMEM values: x (G, N, D), mod
+    (G, 6, D). Dense layers run on the flattened (G*N, D) rows — G times
+    the MXU rows per matmul, amortizing per-op pipeline overhead that
+    dominates at small N*D — while attention and the per-sample adaLN
+    gates stay per-element (cross-element attention would be wrong, and
+    block-diagonal masking would multiply MXU passes by G)."""
+    dt = x.dtype
+    G, N, D = x.shape
+    f32 = jnp.float32
+    m = lambda i: mod[:, i][:, None, :]               # (G, 1, D)
+
+    def dense(h2d, w, b):
+        return (jax.lax.dot_general(
+            h2d, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32) + b.astype(f32)).astype(dt)
+
+    y = (_ln(x, eps) * (1.0 + m(1).astype(f32))
+         + m(0).astype(f32)).astype(dt)
+    qkv = dense(y.reshape(G * N, D), wqkv, bqkv).reshape(G, N, 3 * D)
+    scale = (D // num_heads) ** -0.5
+    attn = jnp.stack([
+        _attn_merged(qkv[g, :, :D], qkv[g, :, D:2 * D], qkv[g, :, 2 * D:],
+                     num_heads, scale, attn_impl) for g in range(G)])
+    proj = dense(attn.reshape(G * N, D), wproj, bproj).reshape(G, N, D)
+    x = x + m(2).astype(dt) * proj
+
+    y = (_ln(x, eps) * (1.0 + m(4).astype(f32))
+         + m(3).astype(f32)).astype(dt)
+    h1 = dense(y.reshape(G * N, D), wfc1, bfc1)
+    h1 = jax.nn.gelu(h1, approximate=True)
+    h2 = dense(h1, wfc2, bfc2).reshape(G, N, D)
+    return x + m(5).astype(dt) * h2
+
+
 def _block_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                   wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, o_ref, *,
                   num_heads: int, eps: float):
@@ -102,8 +146,9 @@ def _block_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
 
 def _stack_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                   wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, o_ref, *,
-                  num_heads: int, eps: float, depth: int):
-    """ALL transformer blocks in one program: x never leaves VMEM between
+                  num_heads: int, eps: float, depth: int,
+                  attn_impl: str = "loop"):
+    """ALL transformer blocks in one program: x never leaves HBM between
     layers (the (B, N, D) activation round-trips HBM once per model
     instead of once per layer)."""
     x = x_ref[0]
@@ -111,8 +156,23 @@ def _stack_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         x = _block_math(
             x, mod_ref[0, l], wqkv_ref[l], bqkv_ref[l], wproj_ref[l],
             bproj_ref[l], wfc1_ref[l], bfc1_ref[l], wfc2_ref[l],
-            bfc2_ref[l], num_heads, eps)
+            bfc2_ref[l], num_heads, eps, attn_impl)
     o_ref[0] = x
+
+
+def _stack_kernel_g(x_ref, mod_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                    bproj_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+                    o_ref, *, num_heads: int, eps: float, depth: int,
+                    attn_impl: str = "loop"):
+    """G-batched whole-stack program: each program owns a (G, N, D) slab
+    of the batch (see _block_math_g)."""
+    x = x_ref[...]
+    for l in range(depth):
+        x = _block_math_g(
+            x, mod_ref[:, l], wqkv_ref[l], bqkv_ref[l], wproj_ref[l],
+            bproj_ref[l], wfc1_ref[l], bfc1_ref[l], wfc2_ref[l],
+            bfc2_ref[l], num_heads, eps, attn_impl)
+    o_ref[...] = x
 
 
 def fused_dit_block(x: jnp.ndarray, mod: jnp.ndarray, wqkv, bqkv, wproj,
@@ -147,34 +207,43 @@ def fused_dit_block(x: jnp.ndarray, mod: jnp.ndarray, wqkv, bqkv, wproj,
 
 def fused_dit_stack(x: jnp.ndarray, mod: jnp.ndarray, wqkv, bqkv, wproj,
                     bproj, wfc1, bfc1, wfc2, bfc2, num_heads: int,
-                    eps: float = 1e-6,
+                    eps: float = 1e-6, attn_impl: str = "loop",
+                    batch_block: int = 1,
                     interpret: bool = False) -> jnp.ndarray:
-    """Whole transformer stack in one Pallas program per batch element:
+    """Whole transformer stack in one Pallas program per batch slab:
     x (B, N, D), per-sample per-layer adaLN vectors mod (B, L, 6, D),
     weights stacked over the layer axis (L, ...). The activation reads
     HBM once and writes once for the WHOLE stack (vs once per layer with
     fused_dit_block); weights (~1.3 MB bf16 at reference scale) stay
-    VMEM-resident across layers."""
+    VMEM-resident across layers. ``batch_block`` G > 1 gives each
+    program a (G, N, D) slab (dense matmuls on G*N rows, attention per
+    element); ``attn_impl`` picks the in-kernel attention ('loop' or
+    'folded' — see ops.attention.attn_heads_folded)."""
     B, N, D = x.shape
     L = wqkv.shape[0]
     hidden = wfc1.shape[-1]
     dt = x.dtype
+    G = batch_block
+    if B % G:
+        raise ValueError(f"batch_block {G} must divide batch {B}")
     const = lambda *shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape))
     w = lambda a: a.astype(dt)
+    kernel = functools.partial(
+        _stack_kernel if G == 1 else _stack_kernel_g,
+        num_heads=num_heads, eps=eps, depth=L, attn_impl=attn_impl)
     return pl.pallas_call(
-        functools.partial(_stack_kernel, num_heads=num_heads, eps=eps,
-                          depth=L),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((B, N, D), dt),
-        grid=(B,),
+        grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((1, N, D), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, L, 6, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((G, N, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((G, L, 6, D), lambda b: (b, 0, 0, 0)),
             const(L, D, 3 * D), const(L, 3 * D),
             const(L, D, D), const(L, D),
             const(L, D, hidden), const(L, hidden),
             const(L, hidden, D), const(L, D),
         ],
-        out_specs=pl.BlockSpec((1, N, D), lambda b: (b, 0, 0)),
+        out_specs=pl.BlockSpec((G, N, D), lambda b: (b, 0, 0)),
         interpret=interpret,
     )(x, mod, w(wqkv), w(bqkv), w(wproj), w(bproj), w(wfc1), w(bfc1),
       w(wfc2), w(bfc2))

@@ -97,6 +97,35 @@ def test_fused_stack_matches_per_block():
                                rtol=5e-4, atol=5e-5)
 
 
+def test_fused_stack_variants_match_default():
+    """The experimental in-kernel attention ('folded' two-matmul
+    block-diagonal) and batch-slab (batch_block G > 1) variants must
+    agree with the shipped per-element per-head-loop kernel. (On-chip
+    A/B ranked the default fastest — scripts/bench_stack_variants.py —
+    so these stay opt-in experiments, but their math is pinned here.)"""
+    from t2ms_tpu.ops.dit_block import fused_dit_stack
+    r = np.random.default_rng(11)
+    B, N, D, hidden, L = 4, 24, 32, 64, 2
+    f = lambda *s: jnp.asarray(r.standard_normal(s), jnp.float32)
+    x = f(B, N, D)
+    mods = 0.1 * f(B, L, 6, D)
+    ws = dict(wqkv=0.2 * f(L, D, 3 * D), bqkv=0.1 * f(L, 3 * D),
+              wproj=0.2 * f(L, D, D), bproj=0.1 * f(L, D),
+              wfc1=0.2 * f(L, D, hidden), bfc1=0.1 * f(L, hidden),
+              wfc2=0.2 * f(L, hidden, D), bfc2=0.1 * f(L, D))
+    base = np.asarray(fused_dit_stack(x, mods, num_heads=4,
+                                      interpret=True, **ws))
+    for kw in (dict(attn_impl="folded"), dict(batch_block=2),
+               dict(attn_impl="folded", batch_block=4)):
+        got = fused_dit_stack(x, mods, num_heads=4, interpret=True,
+                              **kw, **ws)
+        np.testing.assert_allclose(np.asarray(got), base,
+                                   rtol=5e-4, atol=1e-5, err_msg=str(kw))
+    with pytest.raises(ValueError):
+        fused_dit_stack(x, mods, num_heads=4, interpret=True,
+                        batch_block=3, **ws)
+
+
 def test_fused_block_vjp_matches_reference_grads():
     """The whole-block Pallas backward (jax.vjp over _block_math INSIDE
     the kernel, weight grads accumulated across the batch grid) must
