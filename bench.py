@@ -68,12 +68,16 @@ def main():
         # TPU tunnel.
         out = sampler(d_params, vae_params, jax.random.key(4), x, emb)
         np.asarray(out.series)
-        runs = 3
+        # Sustained throughput: dispatch all runs, sync ONCE at the end
+        # (the device serializes them; per-run np.asarray would add a
+        # tunnel round-trip per run — that latency belongs in the p50
+        # latency metric, not in throughput).
+        runs = 4
         t0 = time.perf_counter()
-        for i in range(runs):
-            out = sampler(d_params, vae_params, jax.random.key(5 + i), x,
-                          emb)
-            np.asarray(out.series)
+        outs = [sampler(d_params, vae_params, jax.random.key(5 + i), x,
+                        emb) for i in range(runs)]
+        for o in outs:
+            np.asarray(o.series)
         return B * runs / (time.perf_counter() - t0)
 
     try:
@@ -101,11 +105,14 @@ def main():
                                          donate=False)
         st, loss = tstep(st, vae_params, jax.random.key(9), xt, et)
         np.asarray(loss)
-        n_tr = 8
+        # Steps chain through the TrainState carry; sync ONCE at the end
+        # like a real training loop (per-step np.asarray(loss) adds a
+        # full tunnel round-trip to every step and measures the tunnel).
+        n_tr = 16
         t0 = time.perf_counter()
         for i in range(n_tr):
             st, loss = tstep(st, vae_params, jax.random.key(10 + i), xt, et)
-            np.asarray(loss)
+        np.asarray(loss)
         extra["train_steps_per_sec_b1024"] = round(
             n_tr / (time.perf_counter() - t0), 3)
 

@@ -57,11 +57,15 @@ def bench_serve(B=16, steps=20):
                                cfg_scale=7.0, out_length=96)
     out = sampler(dp, vp, jax.random.key(4), x, emb)
     np.asarray(out.series)
-    runs = 3
+    # Sustained throughput: dispatch all runs, sync once at the end
+    # (per-run transfers measure tunnel latency, not the chip; see
+    # bench_train for the rationale).
+    runs = 4
     t0 = time.perf_counter()
-    for i in range(runs):
-        out = sampler(dp, vp, jax.random.key(5 + i), x, emb)
-        np.asarray(out.series)
+    outs = [sampler(dp, vp, jax.random.key(5 + i), x, emb)
+            for i in range(runs)]
+    for o in outs:
+        np.asarray(o.series)
     dt = (time.perf_counter() - t0) / runs
     tokens = 1024
     fl = _flops_per_token_fwd(512, 12, 4.0, tokens) * tokens
@@ -85,10 +89,15 @@ def bench_train(B=64, n_steps=8):
                                     donate=False)
     st, loss = step(st, vp, jax.random.key(4), x, emb)
     np.asarray(loss)
+    # Steps chain through the TrainState carry, so async dispatch keeps
+    # the device busy back-to-back — sync ONCE at the end, like a real
+    # training loop (cli/train logs occasionally, not per step). A
+    # per-step np.asarray(loss) would add a full ~100+ ms tunnel
+    # round-trip to every step and measure the tunnel, not the chip.
     t0 = time.perf_counter()
     for i in range(n_steps):
         st, loss = step(st, vp, jax.random.key(5 + i), x, emb)
-        np.asarray(loss)
+    np.asarray(loss)
     dt = (time.perf_counter() - t0) / n_steps
     tokens = 1024
     fl = _flops_per_token_fwd(512, 12, 4.0, tokens) * tokens
