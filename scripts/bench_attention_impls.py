@@ -52,11 +52,14 @@ def run(impl: str) -> float:
                                out_length=out_len)
     out = sampler(d_params, vae_params, jax.random.key(4), x, emb)
     np.asarray(out.series)    # sync: block_until_ready lies via the tunnel
+    # Sustained throughput: dispatch all runs, sync once at the end
+    # (per-run transfers measure tunnel latency, not the chip).
     runs = 3
     t0 = time.perf_counter()
-    for i in range(runs):
-        out = sampler(d_params, vae_params, jax.random.key(5 + i), x, emb)
-        np.asarray(out.series)
+    outs = [sampler(d_params, vae_params, jax.random.key(5 + i), x, emb)
+            for i in range(runs)]
+    for o in outs:
+        np.asarray(o.series)
     tput = B * runs / (time.perf_counter() - t0)
     A.packed_attention = packed_attention_orig
     A.einsum_attention = einsum_attention_orig

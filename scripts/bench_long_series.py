@@ -46,11 +46,15 @@ def run(attention_impl: str, B: int, steps: int, out_len: int,
                                cfg_scale=7.0, out_length=out_len)
     out = sampler(dp, vp, jax.random.key(4), x, emb)
     np.asarray(out.series)          # sync through the tunnel
+    # Sustained throughput: dispatch all runs, ONE host sync at the end
+    # (a per-run np.asarray pays a tunnel round-trip per batch and
+    # measures the tunnel, not the chip — see CLAUDE.md).
     runs = 3
     t0 = time.perf_counter()
-    for i in range(runs):
-        out = sampler(dp, vp, jax.random.key(5 + i), x, emb)
-        np.asarray(out.series)
+    outs = [sampler(dp, vp, jax.random.key(5 + i), x, emb)
+            for i in range(runs)]
+    for o in outs:
+        np.asarray(o.series)
     dt = (time.perf_counter() - t0) / runs
     return {
         "metric": f"long_series_sampling_{attention_impl}",
@@ -95,10 +99,12 @@ def run_train(bwd_mode: str, B: int, out_len: int, latent_len: int,
                                         donate=False)
         st, loss = step(st, vp, jax.random.key(4), x, emb)
         np.asarray(loss)                 # sync through the tunnel
+        # Steps chain through the TrainState carry; sync ONCE at the end
+        # like a real training loop (see CLAUDE.md on per-step syncs).
         t0 = time.perf_counter()
         for i in range(n_steps):
             st, loss = step(st, vp, jax.random.key(5 + i), x, emb)
-            np.asarray(loss)
+        np.asarray(loss)
         dt = (time.perf_counter() - t0) / n_steps
     finally:
         A._bwd_two_pass_blocks = saved
