@@ -218,6 +218,21 @@ def main():
                           x, modL, *wsL)
         _check("dit_stack_480x4", gotL, wantL, results, ms)
 
+    # --- SPLIT block kernels at the SCALED serving geometry (d=512) ---
+    if want_run("dit_split"):
+        B, N, D, hidden, H = 4, 1024, 512, 2048, 8
+        ks = jax.random.split(jax.random.key(11), 12)
+        x = jax.random.normal(ks[0], (B, N, D), dt)
+        mod = (jax.random.normal(ks[1], (B, 6, D), dt) * 0.1)
+        wb = lambda i, *s: jax.random.normal(ks[i], s, jnp.float32) * 0.02
+        ws = (wb(2, D, 3 * D), wb(3, 3 * D), wb(4, D, D), wb(5, D),
+              wb(6, D, hidden), wb(7, hidden), wb(8, hidden, D), wb(9, D))
+        want = DB.dit_block_reference(x.astype(jnp.float32),
+                                      mod.astype(jnp.float32), *ws, H)
+        got, ms = _timed(jax.jit(
+            lambda *a: DB.fused_dit_block_split(*a, H)), x, mod, *ws)
+        _check("dit_block_split_1024_d512", got, want, results, ms)
+
     # --- fused DiT block custom-VJP training path (grads) ---
     if want_run("block_vjp") and hasattr(DB, "fused_dit_block_diffable"):
         B, N, D, hidden = 8, 480, 128, 256

@@ -68,15 +68,22 @@ def build_train(batch, scaled=False):
     return run, lowered
 
 
-def build_sample(batch, steps):
+def build_sample(batch, steps, scaled=False):
     from t2ms_tpu.models.denoisers import DiT
     from t2ms_tpu.models.vae import LAVAE
     from t2ms_tpu.sampling import make_cfg_sampler
 
-    dit = DiT(latent_len=30, latent_dim=64, compute_dtype=jnp.bfloat16)
-    vae = LAVAE(in_channels=1, latent_grid=30)
+    if scaled:
+        # the 56.7M-param compute-ceiling geometry of bench_scaled.py
+        dit = DiT(latent_len=64, latent_dim=64, d_model=512, depth=12,
+                  num_heads=8, mlp_ratio=4.0, compute_dtype=jnp.bfloat16)
+        vae = LAVAE(in_channels=1, latent_grid=64)
+    else:
+        dit = DiT(latent_len=30, latent_dim=64, compute_dtype=jnp.bfloat16)
+        vae = LAVAE(in_channels=1, latent_grid=30)
     x = jax.random.normal(jax.random.key(0), (batch, 96))
-    emb = jax.random.normal(jax.random.key(1), (batch, 128))
+    emb = jax.random.normal(jax.random.key(1),
+                            (batch, 512 if scaled else 128))
     vp = vae.init(jax.random.key(2), x)
     z, _ = vae.apply(vp, x, method=vae.encode)
     dp = dit.init(jax.random.key(3), z, jnp.zeros(batch), emb)
@@ -110,7 +117,9 @@ def main():
         run, lowered = build_train(args.batch or (64 if args.scaled
                                                   else 1024), args.scaled)
     else:
-        run, lowered = build_sample(args.batch or 256, args.steps)
+        run, lowered = build_sample(args.batch or (16 if args.scaled
+                                                   else 256),
+                                    args.steps, args.scaled)
 
     run(1)  # compile + warmup
     tmp = tempfile.mkdtemp(prefix="t2ms_prof_")

@@ -23,10 +23,12 @@ from t2ms_tpu.models.denoisers.dit import (sinusoidal_positions,
                                            time_embedding)
 from t2ms_tpu.ops.dit_block import (block_vjp_supported,
                                     fused_dit_block_diffable,
-                                    fused_dit_stack)
+                                    fused_dit_block_split, fused_dit_stack,
+                                    split_block_q)
 
 __all__ = ["fast_dit_forward", "fast_forward_supported",
-           "fast_dit_train_forward", "train_forward_supported"]
+           "fast_dit_train_forward", "train_forward_supported",
+           "split_dit_forward", "split_forward_supported"]
 
 
 def fast_forward_supported(dit) -> bool:
@@ -49,6 +51,21 @@ def fast_forward_supported(dit) -> bool:
     acts = (pc * D * 4 + pc * 3 * D + pc * hidden) * bpe   # x,y,attn,res + qkv + h1
     scores = pc * pc * 4 * 2            # one head's f32 scores + exp copy
     return weights + acts + scores < 12 * 2 ** 20   # head-room under 16 MB
+
+
+def split_forward_supported(dit) -> bool:
+    """Gate for the SPLIT serving path (three q-blocked kernels per
+    block, ops.dit_block.fused_dit_block_split) — the scaled-geometry
+    fallback when the whole-block working set exceeds VMEM. Strictly
+    weaker fusion than the stack kernel, so only consulted when
+    fast_forward_supported fails."""
+    pc = (dit.latent_len // dit.patch_size) * (dit.latent_dim
+                                               // dit.patch_size)
+    if dit.d_model % dit.num_heads:
+        return False
+    return split_block_q(pc, dit.d_model, int(dit.d_model * dit.mlp_ratio),
+                         dit.num_heads,
+                         jnp.dtype(dit.compute_dtype).itemsize) > 0
 
 
 def train_forward_supported(dit) -> bool:
@@ -126,11 +143,9 @@ def fast_dit_train_forward(dit, params, x: jnp.ndarray, t: jnp.ndarray,
     return out.astype(x.dtype)
 
 
-def fast_dit_forward(dit, params, x: jnp.ndarray, t: jnp.ndarray,
-                     text_emb: Optional[jnp.ndarray] = None,
-                     text_mask: Optional[jnp.ndarray] = None,
-                     interpret: bool = False) -> jnp.ndarray:
-    p = params["params"]
+def _embed(dit, p, x, t, text_emb, text_mask):
+    """Shared front half of the serving forwards: patchify + positions
+    + time/text conditioning. Returns (h, silu_c, dense)."""
     B = x.shape[0]
     H, W, pz = dit.latent_len, dit.latent_dim, dit.patch_size
     nh, nw = H // pz, W // pz
@@ -152,7 +167,35 @@ def fast_dit_forward(dit, params, x: jnp.ndarray, t: jnp.ndarray,
         if text_mask is not None:
             te = te * text_mask[:, None].astype(dtype)
         c = c + te
-    silu_c = jax.nn.silu(c)
+    return h, jax.nn.silu(c), dense
+
+
+def _finalize(dit, p, h, dense, out_dtype):
+    """Shared back half: final LN (learned scale/bias, eps 1e-5) +
+    linear un-patchify back to the (B, W, H) latent layout."""
+    B = h.shape[0]
+    H, W, pz = dit.latent_len, dit.latent_dim, dit.patch_size
+    nh, nw = H // pz, W // pz
+    hf = h.astype(jnp.float32)
+    mu = jnp.mean(hf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(hf - mu), axis=-1, keepdims=True)
+    hf = (hf - mu) * jax.lax.rsqrt(var + 1e-5)
+    h = (hf * p["final_ln"]["scale"].astype(jnp.float32)
+         + p["final_ln"]["bias"].astype(jnp.float32)).astype(
+             dit.compute_dtype)
+    h = dense(h, p["unpatch"])                              # (B, pc, p*p)
+    out = h.reshape(B, nh, nw, pz, pz).transpose(0, 1, 3, 2, 4)
+    out = out.reshape(B, H, W).transpose(0, 2, 1)           # (B, W, H)
+    return out.astype(out_dtype)
+
+
+def fast_dit_forward(dit, params, x: jnp.ndarray, t: jnp.ndarray,
+                     text_emb: Optional[jnp.ndarray] = None,
+                     text_mask: Optional[jnp.ndarray] = None,
+                     interpret: bool = False) -> jnp.ndarray:
+    p = params["params"]
+    B = x.shape[0]
+    h, silu_c, dense = _embed(dit, p, x, t, text_emb, text_mask)
 
     blocks = [p[f"block_{i}"] for i in range(dit.depth)]
     mods = jnp.stack([
@@ -167,15 +210,30 @@ def fast_dit_forward(dit, params, x: jnp.ndarray, t: jnp.ndarray,
         stack(("mlp", "fc1", "kernel")), stack(("mlp", "fc1", "bias")),
         stack(("mlp", "fc2", "kernel")), stack(("mlp", "fc2", "bias")),
         dit.num_heads, interpret=interpret)
+    return _finalize(dit, p, h, dense, x.dtype)
 
-    # final LN (learned scale/bias, eps 1e-5) + linear un-patchify
-    hf = h.astype(jnp.float32)
-    mu = jnp.mean(hf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(hf - mu), axis=-1, keepdims=True)
-    hf = (hf - mu) * jax.lax.rsqrt(var + 1e-5)
-    h = (hf * p["final_ln"]["scale"].astype(jnp.float32)
-         + p["final_ln"]["bias"].astype(jnp.float32)).astype(dtype)
-    h = dense(h, p["unpatch"])                              # (B, pc, p*p)
-    out = h.reshape(B, nh, nw, pz, pz).transpose(0, 1, 3, 2, 4)
-    out = out.reshape(B, H, W).transpose(0, 2, 1)           # (B, W, H)
-    return out.astype(x.dtype)
+
+def split_dit_forward(dit, params, x: jnp.ndarray, t: jnp.ndarray,
+                      text_emb: Optional[jnp.ndarray] = None,
+                      text_mask: Optional[jnp.ndarray] = None,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Serving forward for SCALED geometries (whole-block working set
+    over VMEM): each block runs as three q-blocked Pallas kernels
+    (ops.dit_block.fused_dit_block_split), claiming the f32-LN
+    convert+reduce fusions and glue that dominated the scaled-serve
+    profile. Same param tree / semantics as DiT.apply."""
+    p = params["params"]
+    B = x.shape[0]
+    h, silu_c, dense = _embed(dit, p, x, t, text_emb, text_mask)
+    for i in range(dit.depth):
+        bp = p[f"block_{i}"]
+        mod = dense(silu_c, bp["adaLN_modulation"]).reshape(B, 6,
+                                                            dit.d_model)
+        a, m = bp["attn"], bp["mlp"]
+        h = fused_dit_block_split(
+            h, mod, a["qkv"]["kernel"], a["qkv"]["bias"],
+            a["proj"]["kernel"], a["proj"]["bias"],
+            m["fc1"]["kernel"], m["fc1"]["bias"],
+            m["fc2"]["kernel"], m["fc2"]["bias"],
+            dit.num_heads, interpret=interpret)
+    return _finalize(dit, p, h, dense, x.dtype)

@@ -36,7 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 from t2ms_tpu.ops.attention import attn_heads_folded, attn_heads_natural
 
 __all__ = ["fused_dit_block", "fused_dit_stack", "dit_block_reference",
-           "fused_dit_block_diffable", "block_vjp_supported"]
+           "fused_dit_block_diffable", "block_vjp_supported",
+           "fused_dit_block_split", "split_block_q"]
 
 
 def _ln(x, eps):
@@ -369,6 +370,159 @@ def _fused_block_diff_bwd(num_heads, interpret, res, g):
 
 fused_dit_block_diffable.defvjp(_fused_block_diff_fwd,
                                 _fused_block_diff_bwd)
+
+
+def _qkv_split_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref,
+                      q_ref, k_ref, v_ref, *, eps: float):
+    """LN -> adaLN modulate -> qkv projection for one q row-block."""
+    dt = x_ref.dtype
+    D = x_ref.shape[-1]
+    sh_a = mod_ref[0, 0][None, :].astype(jnp.float32)
+    sc_a = mod_ref[0, 1][None, :].astype(jnp.float32)
+    y = (_ln(x_ref[0], eps) * (1.0 + sc_a) + sh_a).astype(dt)
+    qkv = (jax.lax.dot_general(
+        y, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + bqkv_ref[...].astype(jnp.float32)).astype(dt)
+    q_ref[0] = qkv[:, :D]
+    k_ref[0] = qkv[:, D:2 * D]
+    v_ref[0] = qkv[:, 2 * D:]
+
+
+def _attn_split_kernel(q_ref, k_ref, v_ref, x_ref, mod_ref, wproj_ref,
+                       bproj_ref, o_ref, *, num_heads: int, scale: float):
+    """Multi-head attention for one q row-block against the FULL K/V,
+    followed by the out-projection and the gated residual."""
+    dt = x_ref.dtype
+    parts = [None] * num_heads
+    for h, _, o in attn_heads_natural(q_ref[0], k_ref[0], v_ref[0],
+                                      num_heads, scale):
+        parts[h] = o.astype(dt)      # concatenate, not at[].set —
+    attn = jnp.concatenate(parts, axis=-1)   # no Mosaic d.u.s. lowering
+    proj = (jax.lax.dot_general(
+        attn, wproj_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + bproj_ref[...].astype(jnp.float32)).astype(dt)
+    g_a = mod_ref[0, 2][None, :].astype(dt)
+    o_ref[0] = x_ref[0] + g_a * proj
+
+
+def _mlp_split_kernel(x_ref, mod_ref, wfc1_ref, bfc1_ref, wfc2_ref,
+                      bfc2_ref, o_ref, *, eps: float):
+    """LN -> adaLN modulate -> MLP -> gated residual for one row-block
+    (purely row-local, so any q-blocking is exact)."""
+    dt = x_ref.dtype
+    sh_m = mod_ref[0, 3][None, :].astype(jnp.float32)
+    sc_m = mod_ref[0, 4][None, :].astype(jnp.float32)
+    g_m = mod_ref[0, 5][None, :].astype(dt)
+    y = (_ln(x_ref[0], eps) * (1.0 + sc_m) + sh_m).astype(dt)
+    h1 = (jax.lax.dot_general(
+        y, wfc1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + bfc1_ref[...].astype(jnp.float32)).astype(dt)
+    h1 = jax.nn.gelu(h1, approximate=True)
+    h2 = (jax.lax.dot_general(
+        h1, wfc2_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + bfc2_ref[...].astype(jnp.float32)).astype(dt)
+    o_ref[0] = x_ref[0] + g_m * h2
+
+
+def split_block_q(n: int, d: int, hidden: int, num_heads: int,
+                  bpe: int = 2) -> int:
+    """Pick the q row-block for the SPLIT fused block (0 = unsupported).
+
+    The split path exists for geometries whose whole-block working set
+    exceeds VMEM (d_model 512: ~6.3 MB of weights/layer + (N, hidden)
+    activations + per-head scores — the single-program block kernel
+    needs ~26 MB).  Splitting the block at its two residual boundaries
+    gives three kernels with independent, q-blockable working sets; the
+    attention kernel is the fattest (full K/V + one q-block's scores),
+    so the envelope is computed for it, with the measured Mosaic rules
+    from ops.attention: grid-block refs count DOUBLE (next step
+    prefetch), constants once, ~30% headroom under the 16 MB limit."""
+    if n % 8 or d % num_heads or d % 128 or n < 128:
+        return 0
+    for bq in (512, 256, 128):
+        if n % bq:
+            continue
+        refs = (2 * n * d * bpe              # K, V full (constant over q)
+                + 2 * 3 * bq * d * bpe       # q/x blocks, double-buffered
+                + d * d * bpe                # wproj
+                + 2 * bq * d * bpe)          # out block, double-buffered
+        # transients: f32 scores + exp-at-dt + f32 PV out, one head live
+        trans = bq * n * (4 + bpe) + bq * d * 4 + bq * d * bpe
+        mlp = (2 * 2 * bq * d * bpe + 2 * d * hidden * bpe
+               + 2 * bq * hidden * bpe + bq * hidden * 4)
+        if max(refs + trans, mlp) < 11 * 2 ** 20:
+            return bq
+    return 0
+
+
+def fused_dit_block_split(x: jnp.ndarray, mod: jnp.ndarray, wqkv, bqkv,
+                          wproj, bproj, wfc1, bfc1, wfc2, bfc2,
+                          num_heads: int, eps: float = 1e-6,
+                          block_q: int = 0,
+                          interpret: bool = False) -> jnp.ndarray:
+    """adaLN-zero DiT block as THREE q-blocked Pallas kernels (qkv half,
+    attention+proj+residual, MLP half) for geometries too fat for the
+    single-program ``fused_dit_block`` (e.g. d_model=512 at 1024 tokens,
+    where the whole-block working set is ~26 MB but each split kernel
+    stays under the VMEM budget).
+
+    Why not leave it to XLA: the scaled-serve profile (round 3) showed
+    21.5% of device time in f32 LayerNorm convert+reduce fusions and 9%
+    in glue fusions, because every sub-op round-trips the (B, N, D)
+    activation through HBM.  The split kernels keep each half's
+    intermediates in VMEM: per layer the activation traffic drops to
+    x->QKV, (QKV, x)->x', x'->out.  Attention consumes the full K/V per
+    program (exact softmax, bf16 exp like every serving kernel) while q
+    is row-blocked, which is exact.  Reference block semantics:
+    transformer.py:94-124."""
+    B, N, D = x.shape
+    hidden = wfc1.shape[1]
+    dt = x.dtype
+    bq = block_q or split_block_q(N, D, hidden, num_heads,
+                                  jnp.dtype(dt).itemsize)
+    if not bq:
+        raise ValueError(f"split kernel unsupported at N={N}, D={D}")
+    nq = N // bq
+    scale = (D // num_heads) ** -0.5
+    const = lambda *shape: pl.BlockSpec(shape,
+                                        lambda b, i: (0,) * len(shape))
+    qblk = pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0))
+    full = pl.BlockSpec((1, N, D), lambda b, i: (b, 0, 0))
+    mspec = pl.BlockSpec((1, 6, D), lambda b, i: (b, 0, 0))
+    w = lambda a: a.astype(dt)
+
+    q, k, v = pl.pallas_call(
+        functools.partial(_qkv_split_kernel, eps=eps),
+        out_shape=[jax.ShapeDtypeStruct((B, N, D), dt)] * 3,
+        grid=(B, nq),
+        in_specs=[qblk, mspec, const(D, 3 * D), const(1, 3 * D)],
+        out_specs=[qblk] * 3,
+        interpret=interpret,
+    )(x, mod, w(wqkv), w(bqkv)[None])
+
+    x = pl.pallas_call(
+        functools.partial(_attn_split_kernel, num_heads=num_heads,
+                          scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), dt),
+        grid=(B, nq),
+        in_specs=[qblk, full, full, qblk, mspec, const(D, D), const(1, D)],
+        out_specs=qblk,
+        interpret=interpret,
+    )(q, k, v, x, mod, w(wproj), w(bproj)[None])
+
+    return pl.pallas_call(
+        functools.partial(_mlp_split_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), dt),
+        grid=(B, nq),
+        in_specs=[qblk, mspec, const(D, hidden), const(1, hidden),
+                  const(hidden, D), const(1, D)],
+        out_specs=qblk,
+        interpret=interpret,
+    )(x, mod, w(wfc1), w(bfc1)[None], w(wfc2), w(bfc2)[None])
 
 
 def dit_block_reference(x, mod, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2,

@@ -51,9 +51,15 @@ def _serving_forward(denoiser):
             and getattr(denoiser, "attention_impl", "auto") == "auto" \
             and jax.default_backend() not in ("cpu",):
         from t2ms_tpu.models.denoisers.dit_fast import (
-            fast_dit_forward, fast_forward_supported)
+            fast_dit_forward, fast_forward_supported, split_dit_forward,
+            split_forward_supported)
         if fast_forward_supported(denoiser):
             return lambda params, x, t, e, m: fast_dit_forward(
+                denoiser, params, x, t, e, m)
+        if split_forward_supported(denoiser):
+            # scaled geometry (whole-block set over VMEM): three
+            # q-blocked kernels per block instead of one program
+            return lambda params, x, t, e, m: split_dit_forward(
                 denoiser, params, x, t, e, m)
     return lambda params, x, t, e, m: denoiser.apply(params, x, t, e, m)
 

@@ -202,3 +202,55 @@ def test_train_forward_supported_envelope():
     assert not train_forward_supported(
         DiT(latent_len=64, latent_dim=64, d_model=512, depth=12,
             num_heads=8, mlp_ratio=4.0, compute_dtype=jnp.bfloat16))
+
+
+def test_fused_block_split_matches_reference_interpret():
+    """The three-kernel split path (scaled-geometry serving) must match
+    the eager block oracle; block_q override exercises q-blocking on a
+    tiny geometry (q row-blocking is exact — full K/V per program)."""
+    from t2ms_tpu.ops.dit_block import fused_dit_block_split
+    kw = _block_inputs()
+    want = dit_block_reference(num_heads=4, **kw)
+    got = fused_dit_block_split(num_heads=4, block_q=8, interpret=True,
+                                **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_split_dit_forward_matches_flax_apply():
+    """Whole-model parity for the split serving path at a small
+    qualifying geometry (pc=128, d=128 -> block_q=128 via the
+    envelope)."""
+    from t2ms_tpu.models.denoisers.dit_fast import (split_dit_forward,
+                                                    split_forward_supported)
+    dit = DiT(latent_len=8, latent_dim=64)
+    assert split_forward_supported(dit)
+    B = 2
+    x = jax.random.normal(jax.random.key(0), (B, 64, 8))
+    t = jnp.array([0.25, 0.75])
+    emb = jax.random.normal(jax.random.key(1), (B, 128))
+    params = dit.init(jax.random.key(2), x, t, emb)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jax.random.normal(jax.random.key(3), p.shape),
+        params)
+    mask = jnp.array([0.0, 1.0])
+    want = dit.apply(params, x, t, emb, mask)
+    got = split_dit_forward(dit, params, x, t, emb, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_split_forward_supported_envelope():
+    from t2ms_tpu.models.denoisers.dit_fast import split_forward_supported
+    from t2ms_tpu.ops.dit_block import split_block_q
+    # the scaled 56.7M geometry is exactly what the split path is for
+    scaled = DiT(latent_len=64, latent_dim=64, d_model=512, depth=12,
+                 num_heads=8, mlp_ratio=4.0, compute_dtype=jnp.bfloat16)
+    assert split_forward_supported(scaled)
+    # envelope picks a q-block that divides N and fits the MLP half
+    assert split_block_q(1024, 512, 2048, 8, 2) in (128, 256)
+    # tiny geometry: lanes not 128-aligned -> unsupported
+    assert not split_forward_supported(DiT(latent_len=6, latent_dim=8))
+    # reference 480 tokens: no admissible q-block divides N -> stack
+    # path covers it anyway
+    assert split_block_q(480, 128, 256, 4, 2) == 0
