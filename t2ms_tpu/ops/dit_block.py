@@ -394,11 +394,8 @@ def _attn_split_kernel(q_ref, k_ref, v_ref, x_ref, mod_ref, wproj_ref,
     """Multi-head attention for one q row-block against the FULL K/V,
     followed by the out-projection and the gated residual."""
     dt = x_ref.dtype
-    parts = [None] * num_heads
-    for h, _, o in attn_heads_natural(q_ref[0], k_ref[0], v_ref[0],
-                                      num_heads, scale):
-        parts[h] = o.astype(dt)      # concatenate, not at[].set —
-    attn = jnp.concatenate(parts, axis=-1)   # no Mosaic d.u.s. lowering
+    attn = _attn_merged(q_ref[0], k_ref[0], v_ref[0], num_heads, scale,
+                        "loop")      # rectangular q vs full K/V is fine
     proj = (jax.lax.dot_general(
         attn, wproj_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -437,24 +434,33 @@ def split_block_q(n: int, d: int, hidden: int, num_heads: int,
     activations + per-head scores — the single-program block kernel
     needs ~26 MB).  Splitting the block at its two residual boundaries
     gives three kernels with independent, q-blockable working sets; the
-    attention kernel is the fattest (full K/V + one q-block's scores),
-    so the envelope is computed for it, with the measured Mosaic rules
-    from ops.attention: grid-block refs count DOUBLE (next step
-    prefetch), constants once, ~30% headroom under the 16 MB limit."""
-    if n % 8 or d % num_heads or d % 128 or n < 128:
+    envelope models ALL THREE (qkv / attention / MLP), with the
+    measured Mosaic rules from ops.attention: grid-block refs count
+    DOUBLE (next step prefetch) — including the full-row K/V refs,
+    whose index map varies with the batch grid axis — constants once,
+    ~30% headroom under the 16 MB limit. N is capped at 1024, the
+    largest geometry stress-tested on chip (scripts/kernel_smoke.py
+    dit_block_split_1024_d512); raise the cap only together with a new
+    smoke entry."""
+    if n % 8 or d % num_heads or d % 128 or not (128 <= n <= 1024):
         return 0
     for bq in (512, 256, 128):
         if n % bq:
             continue
-        refs = (2 * n * d * bpe              # K, V full (constant over q)
+        attn = (2 * 2 * n * d * bpe          # K, V full rows, DOUBLED
                 + 2 * 3 * bq * d * bpe       # q/x blocks, double-buffered
                 + d * d * bpe                # wproj
-                + 2 * bq * d * bpe)          # out block, double-buffered
-        # transients: f32 scores + exp-at-dt + f32 PV out, one head live
-        trans = bq * n * (4 + bpe) + bq * d * 4 + bq * d * bpe
+                + 2 * bq * d * bpe           # out block, double-buffered
+                # transients: f32 scores + exp-at-dt + f32 PV, one head
+                + bq * n * (4 + bpe) + bq * d * 4 + bq * d * bpe)
+        qkv = (d * 3 * d * bpe               # wqkv
+               + 2 * bq * d * bpe            # x block, double-buffered
+               + 2 * 3 * bq * d * bpe        # q/k/v out blocks, doubled
+               + bq * 3 * d * 4              # f32 matmul result
+               + 2 * bq * d * 4)             # f32 LN copies
         mlp = (2 * 2 * bq * d * bpe + 2 * d * hidden * bpe
                + 2 * bq * hidden * bpe + bq * hidden * 4)
-        if max(refs + trans, mlp) < 11 * 2 ** 20:
+        if max(attn, qkv, mlp) < 11 * 2 ** 20:
             return bq
     return 0
 
@@ -486,6 +492,10 @@ def fused_dit_block_split(x: jnp.ndarray, mod: jnp.ndarray, wqkv, bqkv,
                                   jnp.dtype(dt).itemsize)
     if not bq:
         raise ValueError(f"split kernel unsupported at N={N}, D={D}")
+    if N % bq:
+        # a non-dividing override would silently leave N % bq trailing
+        # rows of the output buffers unwritten
+        raise ValueError(f"block_q {bq} must divide N={N}")
     nq = N // bq
     scale = (D // num_heads) ** -0.5
     const = lambda *shape: pl.BlockSpec(shape,

@@ -64,7 +64,12 @@ def pipeline_apply(fn: Callable, stage_params, x: jnp.ndarray,
     Returns fn_{S-1}(... fn_0(x)) exactly (one compiled program; verified
     against sequential application in tests/test_pp.py).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map as _sm   # jax >= 0.8
+        shard_map = lambda f, **kw: _sm(
+            f, check_vma=kw.pop("check_rep", True), **kw)
+    except ImportError:                    # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     S = mesh.shape[axis]
     M = n_microbatches or S

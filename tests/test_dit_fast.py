@@ -254,3 +254,12 @@ def test_split_forward_supported_envelope():
     # reference 480 tokens: no admissible q-block divides N -> stack
     # path covers it anyway
     assert split_block_q(480, 128, 256, 4, 2) == 0
+    # N beyond the largest on-chip-smoked geometry is refused until a
+    # kernel_smoke entry covers it
+    assert split_block_q(2048, 512, 2048, 8, 2) == 0
+    # a block_q override that does not divide N must raise, not leave
+    # trailing output rows unwritten
+    from t2ms_tpu.ops.dit_block import fused_dit_block_split
+    kw = _block_inputs()
+    with pytest.raises(ValueError, match="must divide"):
+        fused_dit_block_split(num_heads=4, block_q=7, interpret=True, **kw)
