@@ -138,6 +138,9 @@ def save_train_ckpt(directory: str, step: int, params, opt_state,
     (reference filename scheme 'model_{epoch}.pth'). With
     ``asynchronous=True`` the device-to-host copy is issued and the write
     completes in the background (call ``wait_for_saves()`` before exit)."""
+    # the sidecar np.save below must not race orbax's (possibly async)
+    # directory creation
+    os.makedirs(directory, exist_ok=True)
     path = os.path.abspath(os.path.join(directory, f"model_{step}"))
     payload = {
         "params": _to_host(params),
