@@ -30,7 +30,10 @@ from t2ms_tpu.visualize.diagnostics import plot_comparison, plot_pca_tsne
 
 def get_args(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--dataset_name", type=str, default="ETTh1")
+    # --dataset_path is the reference's name for the same flag
+    # (pretrained_lavae_unified.py:112); keep both for drop-in scripts
+    p.add_argument("--dataset_name", "--dataset_path", dest="dataset_name",
+                   type=str, default="ETTh1")
     p.add_argument("--data_root", type=str, default="./Data")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--num_training_updates", type=int, default=2000)
@@ -45,6 +48,15 @@ def get_args(argv=None):
     p.add_argument("--mix_train", type=lambda s: s not in ("0", "False"),
                    default=True)
     p.add_argument("--inference_samples", type=int, default=8)
+    # legacy VQ flags the reference defines but its AE never consumes
+    # (pretrained_lavae_unified.py:123-125; the 'vqvae' has no quantizer)
+    # — accepted so reference sweep scripts run unchanged, ignored
+    p.add_argument("--num_embeddings", type=int, default=128,
+                   help="ignored (reference legacy)")
+    p.add_argument("--compression_factor", type=int, default=4,
+                   help="ignored (reference legacy)")
+    p.add_argument("--commitment_cost", type=float, default=0.25,
+                   help="ignored (reference legacy)")
     return p.parse_args(argv)
 
 

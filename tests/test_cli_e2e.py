@@ -68,9 +68,13 @@ def test_t2s_train_infer_evaluate(t2s_env, monkeypatch):
 def test_t2s_pretrain_vae_cli(t2s_env, monkeypatch):
     monkeypatch.chdir(t2s_env)
     from t2ms_tpu.cli import pretrain_vae
-    pretrain_vae.main(["--dataset_name", "ETTh1", "--batch_size", "10",
+    # --dataset_path + the legacy VQ flags are reference spellings
+    # (pretrained_lavae_unified.py:112,123-125) — must parse unchanged
+    pretrain_vae.main(["--dataset_path", "ETTh1", "--batch_size", "10",
                        "--num_training_updates", "6", "--data_root",
-                       "./Data", "--inference_samples", "4"])
+                       "./Data", "--inference_samples", "4",
+                       "--num_embeddings", "128", "--commitment_cost",
+                       "0.25", "--compression_factor", "4"])
     d = "results/saved_pretrained_models/datasetETTh1_epoch6"
     assert os.path.isdir(os.path.join(d, "final_model"))
     assert os.path.exists(os.path.join(d, "metrics.txt"))
