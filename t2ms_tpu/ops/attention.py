@@ -90,10 +90,13 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     interpret: bool = False) -> jnp.ndarray:
     """Pallas online-softmax attention, (B, H, N, D) -> same.
 
-    N is padded to block multiples with masked (-inf-free) zero keys: padded
-    KEY positions would corrupt the softmax, so padding is applied to Q only
-    and KV blocks are required to divide N (pad callers to a block multiple
-    — patch counts here are powers of two times small factors)."""
+    Block sizes must DIVIDE N — padded KEY positions would corrupt the
+    softmax without -inf masking, so no padding is done. When no
+    admissible block divides N the call falls back to the exact XLA
+    einsum path, which materializes the (B, H, N, N) scores in HBM:
+    long-series callers must pad/bucket N to a block multiple themselves
+    (patch counts here are powers of two times small factors, so the
+    auto blocks always divide in practice)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     B, H, N, D = q.shape
@@ -192,14 +195,22 @@ def packed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """Pallas attention with ``pack`` (batch*head) rows per program and the
     score matrix entirely in VMEM. The serving-shape winner (N a few
     hundred, D small): removes the HBM score traffic that bounds eager
-    attention while keeping programs fat enough to pipeline. VMEM per
-    program ~ pack*(N*N*4 + 4*N*D*2) bytes — pack=4, N=480, D=32 is ~4 MB."""
+    attention while keeping programs fat enough to pipeline. ``pack``
+    halves automatically until the program's live set fits the VMEM
+    budget (s/p f32 + packed p + f32 q/k copies + double-buffered refs);
+    raises if even pack=1 does not fit — use flash/einsum there."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     B, H, N, D = q.shape
     bh = B * H
-    while pack > 1 and bh % pack != 0:
+    bpe = jnp.dtype(q.dtype).itemsize
+    vmem = lambda p: p * (N * N * (8 + bpe) + N * D * (8 + 8 * bpe))
+    while pack > 1 and (bh % pack or vmem(pack) >= 11 * 2 ** 20):
         pack //= 2
+    if vmem(pack) >= 11 * 2 ** 20:
+        raise ValueError(
+            f"packed attention exceeds VMEM at N={N}, D={D} even at "
+            f"pack=1; use flash or einsum for this geometry")
     qf = q.reshape(bh, N, D)
     kf = k.reshape(bh, N, D)
     vf = v.reshape(bh, N, D)
@@ -664,6 +675,10 @@ def fused_heads_attention_bwd_two_pass(q, k, v, g, num_heads: int,
         if blocks is None:
             raise ValueError(f"no two-pass geometry for N={N}, HD={HD}")
     bq, bk, cq = blocks
+    if N % bq or N % bk or N % cq:
+        # a non-dividing block truncates the grid / pass-2 chunk walk and
+        # silently drops the tail rows' gradients
+        raise ValueError(f"blocks {blocks} must divide N={N}")
     full = pl.BlockSpec((1, N, HD), lambda b, i: (b, 0, 0))
     qblk = pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0))
     dq, stats = pl.pallas_call(
@@ -708,12 +723,24 @@ def _bwd_head_groups(n: int, hd: int, num_heads: int, bpe: int = 2):
     BASELINE.md round-3): LARGE q-blocks dominate the ranking
     (bq=512/g=2 = 342 ms vs two-pass 486 vs bq=128/g=2 = 522 per 20
     reps), and the (2, 512) config — formula estimate 15.74 MB — runs
-    clean at the production geometry. Budget is pinned just above that
-    proven point; fewest groups first, then bq descending."""
+    clean at the production geometry. That point sits within 0.5% of
+    the 16 MB scoped limit, so it is admitted ONLY via the explicit
+    proven-geometry table below (smoked in scripts/kernel_smoke.py);
+    every other geometry gets the same ~30% -headroom 11 MB budget as
+    the sibling envelopes (CLAUDE.md calibration rule — Mosaic's
+    accounting exceeds naive estimates). Fewest groups first, then bq
+    descending."""
     if n % 8 != 0 or n < 128:
         return None
     d = hd // num_heads
-    budget = 15.8 * 2 ** 20
+    # (n, hd, num_heads) -> (groups, block_q): configs MEASURED clean on
+    # the real chip at estimates above the general budget; extend only
+    # together with a kernel_smoke entry.
+    proven = {(1024, 512, 8): (2, 512)}
+    got = proven.get((n, hd, num_heads))
+    if got:
+        return got
+    budget = 11 * 2 ** 20
     for g in (2, 4, 8, 16):
         ghd = hd // g
         if num_heads % g or ghd % 128 or ghd < d:
@@ -760,10 +787,16 @@ def fused_heads_attention_bwd(q, k, v, g, num_heads: int,
     upstream gradient g all (B, N, H*D); returns (dq, dk, dv). N beyond
     the whole-row VMEM envelope runs the blocked kernel; head_groups > 1
     additionally walks lane-aligned head groups on the grid's second
-    axis so the refs fit at wide HD (see _bwd_head_groups)."""
+    axis so the refs fit at wide HD (see _bwd_head_groups). Raises when
+    no VMEM-fitting block exists (callers pick the two-pass kernel or
+    the eager einsum VJP there — see _fused_heads_bwd) and on a
+    non-dividing explicit block_q, which would silently leave dq rows
+    unwritten and drop their dk/dv contributions."""
     B, N, HD = q.shape
     if scale is None:
         scale = (HD // num_heads) ** -0.5
+    if block_q and N % block_q:
+        raise ValueError(f"block_q {block_q} must divide N={N}")
     if head_groups > 1:
         G = head_groups
         ghd = HD // G
@@ -778,7 +811,14 @@ def fused_heads_attention_bwd(q, k, v, g, num_heads: int,
     else:
         spec = pl.BlockSpec((1, N, HD), lambda b: (b, 0, 0))
         if block_q is None:
-            block_q = _bwd_block_q(N, HD, jnp.dtype(q.dtype).itemsize) or N
+            block_q = _bwd_block_q(N, HD, jnp.dtype(q.dtype).itemsize)
+            if not block_q:
+                raise ValueError(
+                    f"no VMEM-fitting single-pass backward at N={N}, "
+                    f"HD={HD} (whole-row would exceed the measured "
+                    f"envelope); use head_groups, "
+                    f"fused_heads_attention_bwd_two_pass, or the eager "
+                    f"einsum VJP")
         if block_q == N:
             kernel = functools.partial(_fused_heads_bwd_kernel,
                                        num_heads=num_heads, scale=scale)

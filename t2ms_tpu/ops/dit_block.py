@@ -59,45 +59,52 @@ def _attn_merged(q, k, v, num_heads: int, scale: float, attn_impl: str):
     return jnp.concatenate(parts, axis=-1)
 
 
+def _mod_ln(x, sh, sc, eps):
+    """LN -> adaLN modulate at f32, back to the compute dtype. THE block
+    numerics recipe — shared by _block_math, the G-batched stack and the
+    split kernels so a precision change lands everywhere at once."""
+    return (_ln(x, eps) * (1.0 + sc.astype(jnp.float32))
+            + sh.astype(jnp.float32)).astype(x.dtype)
+
+
+def _dense(h, w, b):
+    """Row-major dense with f32 accumulation and f32 bias-add, cast back
+    to the input dtype (the recipe every block matmul uses)."""
+    return (jax.lax.dot_general(
+        h, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + b.astype(jnp.float32)).astype(h.dtype)
+
+
+def _attn_proj_residual(x, q, k, v, gate, wproj, bproj, num_heads: int,
+                        scale: float, attn_impl: str = "loop"):
+    """attention -> out-projection -> gated residual on VMEM values; q
+    may be a row-block of x while k/v are full rows (exact softmax)."""
+    attn = _attn_merged(q, k, v, num_heads, scale, attn_impl)
+    return x + gate.astype(x.dtype) * _dense(attn, wproj, bproj)
+
+
+def _mlp_half(x, sh, sc, gate, wfc1, bfc1, wfc2, bfc2, eps):
+    """LN -> modulate -> MLP (tanh GELU) -> gated residual (row-local)."""
+    h1 = jax.nn.gelu(_dense(_mod_ln(x, sh, sc, eps), wfc1, bfc1),
+                     approximate=True)
+    return x + gate.astype(x.dtype) * _dense(h1, wfc2, bfc2)
+
+
 def _block_math(x, mod, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
                 num_heads: int, eps: float, attn_impl: str = "loop"):
     """One adaLN-zero block on VMEM values: x (N, D), mod (6, D), flax
     Dense-layout weights. Shared by the single-block and whole-stack
-    kernels."""
-    dt = x.dtype
+    kernels; the split kernels reuse the same half helpers."""
     D = x.shape[-1]
-    sh_a, sc_a, g_a = mod[0][None, :], mod[1][None, :], mod[2][None, :]
-    sh_m, sc_m, g_m = mod[3][None, :], mod[4][None, :], mod[5][None, :]
-
-    # --- attention half ---
-    y = (_ln(x, eps) * (1.0 + sc_a.astype(jnp.float32))
-         + sh_a.astype(jnp.float32)).astype(dt)
-    qkv = (jax.lax.dot_general(
-        y, wqkv, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-        + bqkv.astype(jnp.float32)).astype(dt)
-    q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
+    qkv = _dense(_mod_ln(x, mod[0][None, :], mod[1][None, :], eps),
+                 wqkv, bqkv)
     scale = (D // num_heads) ** -0.5
-    attn = _attn_merged(q, k, v, num_heads, scale, attn_impl)   # (N, D)
-    proj = (jax.lax.dot_general(
-        attn, wproj, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-        + bproj.astype(jnp.float32)).astype(dt)
-    x = x + g_a.astype(dt) * proj
-
-    # --- MLP half ---
-    y = (_ln(x, eps) * (1.0 + sc_m.astype(jnp.float32))
-         + sh_m.astype(jnp.float32)).astype(dt)
-    h1 = (jax.lax.dot_general(
-        y, wfc1, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-        + bfc1.astype(jnp.float32)).astype(dt)
-    h1 = jax.nn.gelu(h1, approximate=True)
-    h2 = (jax.lax.dot_general(
-        h1, wfc2, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-        + bfc2.astype(jnp.float32)).astype(dt)
-    return x + g_m.astype(dt) * h2
+    x = _attn_proj_residual(x, qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:],
+                            mod[2][None, :], wproj, bproj, num_heads,
+                            scale, attn_impl)
+    return _mlp_half(x, mod[3][None, :], mod[4][None, :], mod[5][None, :],
+                     wfc1, bfc1, wfc2, bfc2, eps)
 
 
 def _block_math_g(x, mod, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
@@ -355,7 +362,10 @@ def _fused_block_diff_bwd(num_heads, interpret, res, g):
         functools.partial(_block_vjp_kernel, num_heads=num_heads,
                           eps=1e-6, compute_dtype=dt),
         out_shape=([jax.ShapeDtypeStruct((B, N, D), dt),
-                    jax.ShapeDtypeStruct((B, 6, D), dt)]
+                    # dmod must carry mod's OWN dtype: the custom_vjp
+                    # cotangent contract rejects a bf16 dmod for an f32
+                    # mod primal (the forward accepts mixed dtypes)
+                    jax.ShapeDtypeStruct((B, 6, D), mod.dtype)]
                    + [jax.ShapeDtypeStruct(s, f32) for s in w_shapes]),
         grid=(B,),
         in_specs=[bspec, mspec] + w_specs + [bspec],
@@ -374,16 +384,12 @@ fused_dit_block_diffable.defvjp(_fused_block_diff_fwd,
 
 def _qkv_split_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref,
                       q_ref, k_ref, v_ref, *, eps: float):
-    """LN -> adaLN modulate -> qkv projection for one q row-block."""
-    dt = x_ref.dtype
+    """LN -> adaLN modulate -> qkv projection for one q row-block (the
+    shared _mod_ln/_dense recipe — bit-identical to _block_math)."""
     D = x_ref.shape[-1]
-    sh_a = mod_ref[0, 0][None, :].astype(jnp.float32)
-    sc_a = mod_ref[0, 1][None, :].astype(jnp.float32)
-    y = (_ln(x_ref[0], eps) * (1.0 + sc_a) + sh_a).astype(dt)
-    qkv = (jax.lax.dot_general(
-        y, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-        + bqkv_ref[...].astype(jnp.float32)).astype(dt)
+    qkv = _dense(_mod_ln(x_ref[0], mod_ref[0, 0][None, :],
+                         mod_ref[0, 1][None, :], eps),
+                 wqkv_ref[...], bqkv_ref[...])
     q_ref[0] = qkv[:, :D]
     k_ref[0] = qkv[:, D:2 * D]
     v_ref[0] = qkv[:, 2 * D:]
@@ -392,37 +398,21 @@ def _qkv_split_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref,
 def _attn_split_kernel(q_ref, k_ref, v_ref, x_ref, mod_ref, wproj_ref,
                        bproj_ref, o_ref, *, num_heads: int, scale: float):
     """Multi-head attention for one q row-block against the FULL K/V,
-    followed by the out-projection and the gated residual."""
-    dt = x_ref.dtype
-    attn = _attn_merged(q_ref[0], k_ref[0], v_ref[0], num_heads, scale,
-                        "loop")      # rectangular q vs full K/V is fine
-    proj = (jax.lax.dot_general(
-        attn, wproj_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-        + bproj_ref[...].astype(jnp.float32)).astype(dt)
-    g_a = mod_ref[0, 2][None, :].astype(dt)
-    o_ref[0] = x_ref[0] + g_a * proj
+    followed by the out-projection and the gated residual (shared
+    _attn_proj_residual — rectangular q vs full K/V is exact)."""
+    o_ref[0] = _attn_proj_residual(
+        x_ref[0], q_ref[0], k_ref[0], v_ref[0], mod_ref[0, 2][None, :],
+        wproj_ref[...], bproj_ref[...], num_heads, scale)
 
 
 def _mlp_split_kernel(x_ref, mod_ref, wfc1_ref, bfc1_ref, wfc2_ref,
                       bfc2_ref, o_ref, *, eps: float):
     """LN -> adaLN modulate -> MLP -> gated residual for one row-block
-    (purely row-local, so any q-blocking is exact)."""
-    dt = x_ref.dtype
-    sh_m = mod_ref[0, 3][None, :].astype(jnp.float32)
-    sc_m = mod_ref[0, 4][None, :].astype(jnp.float32)
-    g_m = mod_ref[0, 5][None, :].astype(dt)
-    y = (_ln(x_ref[0], eps) * (1.0 + sc_m) + sh_m).astype(dt)
-    h1 = (jax.lax.dot_general(
-        y, wfc1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-        + bfc1_ref[...].astype(jnp.float32)).astype(dt)
-    h1 = jax.nn.gelu(h1, approximate=True)
-    h2 = (jax.lax.dot_general(
-        h1, wfc2_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-        + bfc2_ref[...].astype(jnp.float32)).astype(dt)
-    o_ref[0] = x_ref[0] + g_m * h2
+    (purely row-local, so any q-blocking is exact; shared _mlp_half)."""
+    o_ref[0] = _mlp_half(
+        x_ref[0], mod_ref[0, 3][None, :], mod_ref[0, 4][None, :],
+        mod_ref[0, 5][None, :], wfc1_ref[...], bfc1_ref[...],
+        wfc2_ref[...], bfc2_ref[...], eps)
 
 
 def split_block_q(n: int, d: int, hidden: int, num_heads: int,

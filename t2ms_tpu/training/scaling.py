@@ -114,8 +114,22 @@ def setup_scaling(args, batch_size: Optional[int] = None,
     """
     if batch_size is None:
         batch_size = args.batch_size
-    n_data = _dp_width(batch_size, len(jax.devices()))
-    mesh = make_mesh(jax.devices()[:n_data], data=n_data, model=1)
+    if jax.process_count() > 1:
+        # multi-host jit requires every process's addressable devices to
+        # participate in the mesh — a jax.devices()[:d] slice would drop
+        # whole hosts and fail at dispatch. Use ALL devices and demand
+        # divisibility instead of silently shrinking the DP width.
+        n_data = len(jax.devices())
+        if batch_size % n_data:
+            raise ValueError(
+                f"global batch {batch_size} must divide over all "
+                f"{n_data} devices in a multi-host run (every host's "
+                f"chips must join the mesh); pad the batch or adjust "
+                f"--batch_size")
+        mesh = make_mesh(jax.devices(), data=n_data, model=1)
+    else:
+        n_data = _dp_width(batch_size, len(jax.devices()))
+        mesh = make_mesh(jax.devices()[:n_data], data=n_data, model=1)
     dtype = parse_dtype(getattr(args, "compute_dtype", "f32"))
     if not for_training:
         return ScalingPlan(mesh, n_data, 1, dtype)

@@ -241,11 +241,49 @@ def test_fused_heads_pallas_bwd_matches_eager_vjp():
     g = jax.random.normal(ks[3], (2, 96, 128))
     _, vjp = jax.vjp(lambda a, b, c: _einsum_natural(a, b, c, 4), q, k, v)
     want = vjp(g)
-    got = fused_heads_attention_bwd(q, k, v, g, 4, interpret=True)
+    # explicit whole-row block: N=96 is below the envelope's floor, and
+    # the default path now refuses rather than guessing (see
+    # test_bwd_refuses_unfitting_geometry)
+    got = fused_heads_attention_bwd(q, k, v, g, 4, block_q=96,
+                                    interpret=True)
     for got_i, want_i, name in zip(got, want, "qkv"):
         np.testing.assert_allclose(
             np.asarray(got_i), np.asarray(want_i), rtol=1e-3, atol=1e-4,
             err_msg=f"d{name} mismatch")
+
+
+def test_bwd_refuses_unfitting_geometry():
+    """The public backward entry must REFUSE geometries its envelope
+    rejects instead of silently running the whole-row kernel that was
+    measured to OOM VMEM, and must reject non-dividing explicit blocks
+    (a truncated grid leaves gradient rows unwritten)."""
+    from t2ms_tpu.ops.attention import (fused_heads_attention_bwd,
+                                        fused_heads_attention_bwd_two_pass)
+    ks = jax.random.split(jax.random.key(70), 4)
+    q, k, v, g = (jax.random.normal(kk, (1, 4096, 128), jnp.bfloat16)
+                  for kk in ks)
+    with pytest.raises(ValueError, match="no VMEM-fitting"):
+        fused_heads_attention_bwd(q, k, v, g, 4, interpret=True)
+    qs, ks_, vs, gs = (x[:, :96] for x in (q, k, v, g))
+    with pytest.raises(ValueError, match="must divide"):
+        fused_heads_attention_bwd(qs, ks_, vs, gs, 4, block_q=64,
+                                  interpret=True)
+    with pytest.raises(ValueError, match="must divide"):
+        fused_heads_attention_bwd_two_pass(qs, ks_, vs, gs, 4,
+                                           blocks=(64, 32, 32),
+                                           interpret=True)
+
+
+def test_packed_refuses_vmem_exceeding_geometry():
+    """packed_attention halves pack to fit its VMEM budget and raises
+    when even pack=1 exceeds it (previously it dispatched a kernel that
+    OOMs on chip at N>=1024)."""
+    from t2ms_tpu.ops.attention import packed_attention
+    ks = jax.random.split(jax.random.key(71), 3)
+    q, k, v = (jax.random.normal(kk, (1, 4, 2048, 32), jnp.bfloat16)
+               for kk in ks)
+    with pytest.raises(ValueError, match="exceeds VMEM"):
+        packed_attention(q, k, v, interpret=True)
 
 
 def test_fused_heads_blocked_q_matches_einsum():

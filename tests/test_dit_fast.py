@@ -151,6 +151,27 @@ def test_fused_block_vjp_matches_reference_grads():
             err_msg=f"d{n} mismatch")
 
 
+def test_fused_block_vjp_mixed_dtypes():
+    """bf16 activations with f32 mod/weights (the serving/training dtype
+    split) must produce cotangents in each primal's OWN dtype — the
+    custom_vjp contract rejects a bf16 dmod for an f32 mod primal."""
+    from t2ms_tpu.ops.dit_block import fused_dit_block_diffable
+    kw = _block_inputs(B=2)
+    args = [kw[n] for n in kw]
+    args[0] = args[0].astype(jnp.bfloat16)          # x bf16, rest f32
+
+    def loss(*a):
+        return jnp.sum(jnp.square(
+            fused_dit_block_diffable(*a, 4, True).astype(jnp.float32)))
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(*args)
+    assert grads[0].dtype == jnp.bfloat16           # dx follows x
+    assert grads[1].dtype == jnp.float32            # dmod follows mod
+    assert grads[2].dtype == jnp.float32            # dw f32
+    assert all(bool(jnp.isfinite(g.astype(jnp.float32)).all())
+               for g in grads)
+
+
 def test_fast_dit_train_forward_grads_match_flax():
     """End-to-end training-path parity: grads of the fast train forward
     (per-block fused custom VJP) vs flax DiT.apply grads on the SAME
