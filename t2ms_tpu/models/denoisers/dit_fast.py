@@ -28,7 +28,21 @@ from t2ms_tpu.ops.dit_block import (block_vjp_supported,
 
 __all__ = ["fast_dit_forward", "fast_forward_supported",
            "fast_dit_train_forward", "train_forward_supported",
-           "split_dit_forward", "split_forward_supported"]
+           "split_dit_forward", "split_forward_supported",
+           "fused_path_eligible"]
+
+
+def fused_path_eligible(denoiser) -> bool:
+    """THE opt-in gate for every fused Pallas forward (serving stack,
+    split, training block-VJP), in one place so trainer and sampler can't
+    drift: the denoiser is a DiT, its attention_impl is 'auto' (an
+    explicit impl is an opt-out — oracle runs and kernel A/B benches must
+    not be rerouted to the megakernels), and we're on an accelerator.
+    Geometry fit is checked separately per path (the *_supported fns)."""
+    from t2ms_tpu.models.denoisers.dit import DiT
+    return (isinstance(denoiser, DiT)
+            and getattr(denoiser, "attention_impl", "auto") == "auto"
+            and jax.default_backend() not in ("cpu",))
 
 
 def fast_forward_supported(dit) -> bool:
@@ -75,6 +89,9 @@ def train_forward_supported(dit) -> bool:
     (ops.dit_block.block_vjp_supported)."""
     pc = (dit.latent_len // dit.patch_size) * (dit.latent_dim
                                                // dit.patch_size)
+    # the attention_impl opt-out is ALSO in fused_path_eligible (the
+    # trainer checks both); repeated here so direct callers of this gate
+    # alone can't reroute an explicitly-configured oracle run
     if dit.d_model % dit.num_heads or getattr(dit, "attention_impl",
                                               "auto") != "auto":
         return False
@@ -94,35 +111,16 @@ def fast_dit_train_forward(dit, params, x: jnp.ndarray, t: jnp.ndarray,
     forward AND backward are single Pallas programs (ops/dit_block.py) —
     attacking the train-step profile's long tail of small XLA fusions
     (TODO.md round-2 pointer). Patchify/unpatch/final-LN/conditioning
-    stay XLA (differentiable jnp ops; measured MXU-hostile in-kernel)."""
+    are the SAME _embed/_finalize the serving paths use (differentiable
+    jnp ops; measured MXU-hostile in-kernel) — one numerics recipe for
+    every path."""
     p = params["params"]
     B = x.shape[0]
-    H, W, pz = dit.latent_len, dit.latent_dim, dit.patch_size
-    nh, nw = H // pz, W // pz
-    pc = nh * nw
-    dtype = dit.compute_dtype
-
-    def dense(h, q):
-        return h @ q["kernel"].astype(dtype) + q["bias"].astype(dtype)
-
-    img = x.astype(dtype).transpose(0, 2, 1)
-    patches = img.reshape(B, nh, pz, nw, pz).transpose(0, 1, 3, 2, 4)
-    patches = patches.reshape(B, pc, pz * pz)
-    h = dense(dense(patches, p["patch_conv"]), p["patch_emb"])
-    h = h + sinusoidal_positions(pc, dit.d_model).astype(dtype)[None]
-
-    c = time_embedding(t, dit.d_model).astype(dtype)
-    if text_emb is not None:
-        te = text_emb.astype(dtype)
-        if text_mask is not None:
-            te = te * text_mask[:, None].astype(dtype)
-        c = c + te
-    silu_c = jax.nn.silu(c)
-
+    h, silu_c, dense = _embed(dit, p, x, t, text_emb, text_mask)
     for i in range(dit.depth):
         bp = p[f"block_{i}"]
         mod = dense(silu_c, bp["adaLN_modulation"]).reshape(B, 6,
-                                                           dit.d_model)
+                                                            dit.d_model)
         a, m = bp["attn"], bp["mlp"]
         h = fused_dit_block_diffable(
             h, mod, a["qkv"]["kernel"], a["qkv"]["bias"],
@@ -130,17 +128,7 @@ def fast_dit_train_forward(dit, params, x: jnp.ndarray, t: jnp.ndarray,
             m["fc1"]["kernel"], m["fc1"]["bias"],
             m["fc2"]["kernel"], m["fc2"]["bias"],
             dit.num_heads, interpret)
-
-    hf = h.astype(jnp.float32)
-    mu = jnp.mean(hf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(hf - mu), axis=-1, keepdims=True)
-    hf = (hf - mu) * jax.lax.rsqrt(var + 1e-5)
-    h = (hf * p["final_ln"]["scale"].astype(jnp.float32)
-         + p["final_ln"]["bias"].astype(jnp.float32)).astype(dtype)
-    h = dense(h, p["unpatch"])
-    out = h.reshape(B, nh, nw, pz, pz).transpose(0, 1, 3, 2, 4)
-    out = out.reshape(B, H, W).transpose(0, 2, 1)
-    return out.astype(x.dtype)
+    return _finalize(dit, p, h, dense, x.dtype)
 
 
 def _embed(dit, p, x, t, text_emb, text_mask):

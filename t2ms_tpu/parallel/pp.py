@@ -37,8 +37,11 @@ _STAGE_STACK: list = []
 
 @contextlib.contextmanager
 def stage(index: int) -> Iterator[None]:
-    """Mark a region as pipeline stage ``index`` (profiler-visible via
-    named_scope; consumed by pipeline_apply-style schedulers)."""
+    """Mark a region as pipeline stage ``index`` — an INFORMATIONAL tag
+    (profiler-visible via named_scope; ``current_stage`` reads it for
+    logging/debug). ``pipeline_apply`` does NOT consume it: the schedule
+    derives stage indices from ``lax.axis_index``. Tracing-time only and
+    not thread-safe — don't query it from concurrent tracers."""
     _STAGE_STACK.append(index)
     with jax.named_scope(f"pp_stage_{index}"):
         try:
@@ -64,12 +67,7 @@ def pipeline_apply(fn: Callable, stage_params, x: jnp.ndarray,
     Returns fn_{S-1}(... fn_0(x)) exactly (one compiled program; verified
     against sequential application in tests/test_pp.py).
     """
-    try:
-        from jax import shard_map as _sm   # jax >= 0.8
-        shard_map = lambda f, **kw: _sm(
-            f, check_vma=kw.pop("check_rep", True), **kw)
-    except ImportError:                    # pragma: no cover
-        from jax.experimental.shard_map import shard_map
+    from t2ms_tpu.parallel.compat import shard_map
 
     S = mesh.shape[axis]
     M = n_microbatches or S

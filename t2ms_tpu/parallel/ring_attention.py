@@ -63,10 +63,12 @@ def ring_attention_sharded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                            mesh: Mesh, axis_name: str = "data",
                            scale: Optional[float] = None) -> jnp.ndarray:
     """Full-array entry point: shards the token axis of (B, H, N, D) over
-    ``axis_name`` and runs the ring. N must divide the axis size."""
+    ``axis_name`` and runs the ring. The axis size must divide N (each
+    device holds an equal N/axis_size token shard)."""
+    from t2ms_tpu.parallel.compat import shard_map
     spec = P(None, None, axis_name, None)
-    fn = jax.shard_map(
+    fn = shard_map(
         functools.partial(ring_attention, axis_name=axis_name, scale=scale),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_vma=False)
+        check_rep=False)
     return fn(q, k, v)

@@ -45,14 +45,12 @@ def _serving_forward(denoiser):
     program, ops/dit_block.py — same param tree), flax apply otherwise.
     An explicit ``attention_impl`` other than 'auto' opts OUT: the user
     asked for a specific path (oracle runs, kernel A/B benches), so the
-    sampler must not reroute it to the megakernel."""
-    from t2ms_tpu.models.denoisers.dit import DiT
-    if isinstance(denoiser, DiT) \
-            and getattr(denoiser, "attention_impl", "auto") == "auto" \
-            and jax.default_backend() not in ("cpu",):
-        from t2ms_tpu.models.denoisers.dit_fast import (
-            fast_dit_forward, fast_forward_supported, split_dit_forward,
-            split_forward_supported)
+    sampler must not reroute it to the megakernel (the shared
+    fused_path_eligible gate, same as the trainer's)."""
+    from t2ms_tpu.models.denoisers.dit_fast import (
+        fast_dit_forward, fast_forward_supported, fused_path_eligible,
+        split_dit_forward, split_forward_supported)
+    if fused_path_eligible(denoiser):
         if fast_forward_supported(denoiser):
             return lambda params, x, t, e, m: fast_dit_forward(
                 denoiser, params, x, t, e, m)

@@ -52,13 +52,12 @@ def _training_forward(denoiser):
     the DiT on TPU when its geometry fits the block-VJP VMEM envelope
     (whole block fwd AND bwd each one Pallas program — see
     ops/dit_block.py), flax apply otherwise. Same opt-out contract as the
-    sampler's _serving_forward: an explicit attention_impl disables it."""
-    from t2ms_tpu.models.denoisers.dit import DiT
-    if isinstance(denoiser, DiT) \
-            and getattr(denoiser, "attention_impl", "auto") == "auto" \
-            and jax.default_backend() not in ("cpu",):
-        from t2ms_tpu.models.denoisers.dit_fast import (
-            fast_dit_train_forward, train_forward_supported)
+    sampler's _serving_forward: the shared fused_path_eligible gate
+    (explicit attention_impl disables it)."""
+    from t2ms_tpu.models.denoisers.dit_fast import (
+        fast_dit_train_forward, fused_path_eligible,
+        train_forward_supported)
+    if fused_path_eligible(denoiser):
         if train_forward_supported(denoiser):
             return lambda params, x, t, e, m: fast_dit_train_forward(
                 denoiser, params, x, t, e, m)
@@ -96,7 +95,7 @@ def make_denoiser_train_step(
         raise ValueError(f"Unsupported backbone type: {backbone}")
     denoiser_forward = _training_forward(denoiser)
 
-    def loss_fn(params, vae_params, key, x, text_emb):
+    def loss_fn(params, vae_params, key, cfg_key, x, text_emb):
         z, _ = encode_with_vae(vae_model, vae_params, x)
         if backbone == "flowmatching":
             t = rf.sample_t(named_fold(key, "t"), z.shape[0], total_step)
@@ -110,11 +109,15 @@ def make_denoiser_train_step(
                                     dtype=z.dtype)
             x_t, _ = ddpm_lib.q_sample(sched, z, t, eps)
             target = eps
-        # one Bernoulli per step, whole batch drops together (train.py:80).
-        # The drop is a text_mask, not a zeroed embedding: for the MLP
-        # denoiser only the mask path skips the biased cross-attn residual
-        # exactly like the reference's text_input=None (mlp.py:77).
-        keep = (jax.random.uniform(named_fold(key, "cfg"), ())
+        # one Bernoulli per OPTIMIZER step, whole batch drops together
+        # (train.py:80) — cfg_key is drawn once in step_fn and shared by
+        # every accumulation microbatch, so the reference's
+        # all-conditioned-or-all-dropped update semantics survive
+        # accum_steps > 1. The drop is a text_mask, not a zeroed
+        # embedding: for the MLP denoiser only the mask path skips the
+        # biased cross-attn residual exactly like the reference's
+        # text_input=None (mlp.py:77).
+        keep = (jax.random.uniform(cfg_key, ())
                 >= cfg_drop_prob).astype(x_t.dtype)
         mask = jnp.broadcast_to(keep, (z.shape[0],))
         pred = denoiser_forward(params, x_t, t, text_emb, mask)
@@ -122,6 +125,7 @@ def make_denoiser_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step_fn(state: TrainState, vae_params, key, x, text_emb):
+        cfg_key = named_fold(key, "cfg")
         if accum_steps > 1:
             B = x.shape[0]
             if B % accum_steps != 0:
@@ -135,7 +139,7 @@ def make_denoiser_train_step(
                 xm, em = inp
                 l, g = jax.value_and_grad(loss_fn)(
                     state.params, vae_params, jax.random.fold_in(key, i),
-                    xm, em)
+                    cfg_key, xm, em)
                 grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, g)
                 return (loss_acc + l, grad_acc, i + 1), None
 
@@ -146,7 +150,7 @@ def make_denoiser_train_step(
             grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
         else:
             loss, grads = jax.value_and_grad(loss_fn)(
-                state.params, vae_params, key, x, text_emb)
+                state.params, vae_params, key, cfg_key, x, text_emb)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
@@ -158,7 +162,14 @@ def make_denoiser_train_step(
             # No jax.debug.print here: the axon TPU backend does not
             # support host callbacks; the returned non-finite loss is the
             # host-visible signal (the CLIs log it).
-            ok = jnp.isfinite(loss)
+            # Updates are checked too: a bf16 overflow confined to the
+            # backward (finite loss, inf/NaN grads -> NaN Adam updates)
+            # would otherwise slip past a loss-only check and poison
+            # params unrecoverably. state.step still counts ATTEMPTED
+            # steps so schedules/logging stay monotonic.
+            ok = jnp.isfinite(loss) & jax.tree_util.tree_reduce(
+                lambda a, u: a & jnp.all(jnp.isfinite(u)),
+                updates, jnp.asarray(True))
             params = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(ok, new, old),
                 params, state.params)
