@@ -100,12 +100,13 @@ def _load_torch_denoiser_params(path: str, kind: str):
     return dit_params_from_state_dict(sd)
 
 
-def infer(args, run_dir: str, seed_offset: int = 0, collect_gif=True):
-    os.makedirs(run_dir, exist_ok=True)
+def _build_ctx(args):
+    """Everything reusable across runs: loader, models, params, plan.
+    run_multi makes 11 infer() calls — rebuilding (and re-jitting)
+    per run would pay a full sampler compile through the tunnel each
+    time (minutes-scale, CLAUDE.md)."""
     datasets, batcher = t2s_loader_provider(args, "test")
     length = datasets[0].length
-    print(f"Inference config::Step: {args.total_step}\t"
-          f"CFG Scale: {args.cfg_scale}")
 
     vae = build_t2s_vae(args)
     probe = jnp.zeros((2, length))
@@ -116,6 +117,16 @@ def infer(args, run_dir: str, seed_offset: int = 0, collect_gif=True):
         print(f"Imported reference VAE from {args.pretrained_model_path}")
     elif os.path.exists(args.pretrained_model_path):
         vae_params = ckpt.load_params(args.pretrained_model_path, vae_params)
+    else:
+        # the reference crashes on torch.load here (infer.py:39-41). We
+        # warn instead of raising: the random init is deterministic
+        # (key 0), so a denoiser trained with the same missing-VAE
+        # warning in cli.train round-trips coherently — but outputs are
+        # meaningless if a trained VAE was expected.
+        print(f"WARNING: no pretrained VAE at "
+              f"{args.pretrained_model_path}; using the deterministic "
+              f"random init (run cli.pretrain_vae or pass --vae_file "
+              f"for real outputs)")
 
     from t2ms_tpu.training.scaling import setup_scaling
     plan = setup_scaling(args, for_training=False)
@@ -154,15 +165,34 @@ def infer(args, run_dir: str, seed_offset: int = 0, collect_gif=True):
         print(f"WARNING: no checkpoint at {args.checkpoint_path}; "
               "sampling from random weights")
 
-    sampler = make_cfg_sampler(denoiser, vae, args.backbone,
-                               args.total_step, args.cfg_scale,
-                               out_length=length, collect_trajectory=True)
-    key = root_key(args.general_seed + seed_offset)
-
     if plan.n_data > 1:
         from t2ms_tpu.training.scaling import replicate_tree
         d_params = replicate_tree(plan, d_params)
         vae_params = replicate_tree(plan, vae_params)
+
+    return dict(batcher=batcher, length=length, vae=vae,
+                vae_params=vae_params, denoiser=denoiser,
+                d_params=d_params, plan=plan, samplers={})
+
+
+def infer(args, run_dir: str, seed_offset: int = 0, collect_gif=True,
+          ctx=None):
+    os.makedirs(run_dir, exist_ok=True)
+    print(f"Inference config::Step: {args.total_step}\t"
+          f"CFG Scale: {args.cfg_scale}")
+    ctx = ctx if ctx is not None else _build_ctx(args)
+    batcher, length = ctx["batcher"], ctx["length"]
+    vae, vae_params = ctx["vae"], ctx["vae_params"]
+    d_params, plan = ctx["d_params"], ctx["plan"]
+    if collect_gif not in ctx["samplers"]:
+        # the trajectory stack is a (total_step, B, ...) scan output only
+        # the GIF consumes — don't carry it on multi runs
+        ctx["samplers"][collect_gif] = make_cfg_sampler(
+            ctx["denoiser"], vae, args.backbone, args.total_step,
+            args.cfg_scale, out_length=length,
+            collect_trajectory=collect_gif)
+    sampler = ctx["samplers"][collect_gif]
+    key = root_key(args.general_seed + seed_offset)
 
     x1s, xts, lat_dec, lat_enc = [], [], [], []
     gif_frames = None
@@ -173,9 +203,12 @@ def infer(args, run_dir: str, seed_offset: int = 0, collect_gif=True):
         x_in = jnp.asarray(batch.x)
         e_in = jnp.asarray(batch.embedding)
         if plan.n_data > 1 and x_in.shape[0] % plan.n_data == 0:
-            # DP-shard the serving batch (tail batches that don't divide
-            # the data axis run replicated — test loaders keep drop_last
-            # False, reference dataloader.py:111)
+            # DP-shard the serving batch; tail batches that don't divide
+            # the data axis run replicated. (Deliberate deviation: the
+            # reference drops eval tails too — dataloader.py:98,111
+            # drop_last=True — but dropping rows silently shrinks the
+            # metric set, so our test loaders keep them; every run keeps
+            # the same rows, so multi-run metrics stay aligned.)
             from t2ms_tpu.parallel.mesh import shard_batch
             x_in, e_in = shard_batch(plan.mesh, (x_in, e_in))
         out = sampler(d_params, vae_params, step_key(key, b), x_in, e_in)
@@ -205,13 +238,14 @@ def main(argv=None):
     args = get_args(argv)
     print("start generate", args.run_multi)
     if args.run_multi:
+        ctx = _build_ctx(args)          # one loader + one jitted sampler
         x_1, x_t, _ = infer(args, args.generation_save_path, 0,
-                            collect_gif=False)
+                            collect_gif=False, ctx=ctx)
         for run_index in range(10):
             run_dir = os.path.join(args.generation_save_path,
                                    f"run_{run_index}")
             x_1, x_t, _ = infer(args, run_dir, run_index + 1,
-                                collect_gif=False)
+                                collect_gif=False, ctx=ctx)
         plot_generation_figs(x_1, x_t, args.generation_save_path)
     else:
         x_1, x_t, frames = infer(args, args.generation_save_path, 0)

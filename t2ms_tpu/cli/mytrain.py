@@ -65,6 +65,11 @@ def train(args):
           f"save_path: {args.save_path}")
     os.makedirs(args.save_path, exist_ok=True)
     train_batcher, _ = motion_loader_provider(args, "train")
+    if len(train_batcher) == 0:
+        raise ValueError(
+            f"no motion bucket holds a full batch of {args.batch_size} "
+            f"rows (train loaders drop tails like the reference); "
+            f"reduce --batch_size")
 
     plan = scaling.setup_scaling(args)
     args.scaling_plan = plan
@@ -100,11 +105,12 @@ def train(args):
     if args.checkpoint_path:
         restored = ckpt.load_train_ckpt(args.checkpoint_path, state.params,
                                         state.opt_state)
+        # "step" = optimizer-step counter (seeds the fold_in key stream);
+        # "epoch" drives the loop — see cli/train.py resume notes
         state = TrainState(restored["params"], restored["opt_state"],
                            jnp.asarray(restored["step"]))
         loss_list = list(restored["loss_history"])
-        start_epoch = int(os.path.basename(
-            args.checkpoint_path).split("_")[-1]) + 1
+        start_epoch = int(restored["epoch"]) + 1
         plot_loss_curve(loss_list, args.save_path)
 
     state = scaling.replicate_tree(plan, state)
@@ -123,6 +129,10 @@ def train(args):
         args.save_path,
         max_to_keep=getattr(args, "max_ckpts_keep", 0) or None,
         keep_period=getattr(args, "ckpt_keep_period", 0) or None)
+    # host-side step counter + device-array losses until epoch end: a
+    # per-iteration int(state.step)/float(loss) host-syncs through the
+    # tunnel and serializes the loop (CLAUDE.md throughput rule)
+    step_no = int(state.step)
     with profile_trace(fw.profile_dir):
         for epoch in range(start_epoch, args.epochs):
             group_losses = []
@@ -132,11 +142,14 @@ def train(args):
                                      np.asarray(b.embedding)))
             for batch, (x_dev, emb_dev) in staged:
                 state, loss = step_fn(state, vae_params,
-                                      step_key(key, int(state.step)),
+                                      step_key(key, step_no),
                                       x_dev, emb_dev)
-                group_losses.append(float(loss))
+                step_no += 1
+                group_losses.append(loss)
                 timer.tick()
-            epoch_losses.append(float(np.mean(group_losses)))
+            # all steps already dispatched; transfers happen at epoch end
+            epoch_losses.append(float(np.mean(
+                [np.asarray(l) for l in group_losses])))
             print(f"[Epoch {epoch}] loss: {epoch_losses[-1]:.5f}")
             logger.log(epoch=epoch, loss=epoch_losses[-1],
                        steps_per_sec=timer.steps_per_sec)
@@ -146,7 +159,7 @@ def train(args):
                 # the reference persists a list it never appends to
                 # (mytrain.py:46,93); we persist the actual epoch losses
                 mgr.save(epoch, state.params, state.opt_state,
-                         loss_list + epoch_losses)
+                         loss_list + epoch_losses, opt_step=step_no)
             if epoch == args.hard_stop_epoch:
                 break
     mgr.wait_until_finished()

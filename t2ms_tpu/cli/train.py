@@ -40,7 +40,15 @@ def get_args(argv=None):
                    default="./results/denoiser_results")
     p.add_argument("--mix_train", type=lambda s: s not in ("0", "False"),
                    default=True)
-    p.add_argument("--usepretrainedvae", default=True)
+    # accepted for reference-script compat but always-frozen: the
+    # reference's unfreeze path (train.py:31-33, requires_grad = not
+    # usepretrainedvae) is unreachable from ITS OWN CLI too — the flag
+    # has no type=, so any CLI string (incl. 'False') is truthy
+    p.add_argument("--usepretrainedvae", default=True,
+                   help="accepted for compatibility; the VAE encoder is "
+                        "always frozen (the reference CLI cannot "
+                        "actually unfreeze it either — its bool flag "
+                        "parses any string as True)")
     p.add_argument("--total_step", type=int, default=100)
     p.add_argument("--backbone", type=str, default="flowmatching")
     p.add_argument("--denoiser", type=str, default="DiT")
@@ -67,6 +75,11 @@ def train(args):
           f"save_path: {args.save_path}")
     os.makedirs(args.save_path, exist_ok=True)
     datasets, batcher = t2s_loader_provider(args, "train")
+    if len(batcher) == 0:
+        raise ValueError(
+            f"no length bucket holds a full batch of {args.batch_size} "
+            f"rows (train loaders drop tails like the reference, "
+            f"dataloader.py:98); reduce --batch_size")
 
     # One scaling policy for every entry point (training/scaling.py): DP
     # mesh over the visible devices, auto grad-accumulation so the
@@ -104,11 +117,14 @@ def train(args):
     if args.checkpoint_path:
         restored = ckpt.load_train_ckpt(args.checkpoint_path, state.params,
                                         state.opt_state)
+        # "step" is the OPTIMIZER-step counter (seeds the fold_in key
+        # stream — restoring the epoch there would replay keys already
+        # consumed); "epoch" drives the loop range. Pre-epoch-field
+        # checkpoints restore epoch = stored step (their old meaning).
         state = TrainState(restored["params"], restored["opt_state"],
                            jnp.asarray(restored["step"]))
         loss_list = list(restored["loss_history"])
-        start_epoch = int(os.path.basename(
-            args.checkpoint_path).split("_")[-1]) + 1
+        start_epoch = int(restored["epoch"]) + 1
         print(f"Resumed from {args.checkpoint_path} at epoch {start_epoch}")
 
     # commit params/opt-state replicated on the DP mesh so jit never
@@ -137,23 +153,34 @@ def _run_epochs(args, batcher, step_fn, state, vae_params, key, logger,
         args.save_path,
         max_to_keep=getattr(args, "max_ckpts_keep", 0) or None,
         keep_period=getattr(args, "ckpt_keep_period", 0) or None)
+    # the step index is tracked host-side: the trainer increments
+    # state.step by exactly 1 per call, so int(state.step) per iteration
+    # would only add a device->host round-trip (~32 ms through the axon
+    # tunnel) that serializes the loop against the previous step —
+    # CLAUDE.md's "never host-sync per iteration" rule. Losses likewise
+    # stay device arrays until the epoch ends (one stacked transfer).
+    step_no = int(state.step)
     for epoch in range(start_epoch, args.epochs):
         staged = prefetch_to_device(
             batcher.epoch(epoch), mesh=mesh,
             transform=lambda b: (np.asarray(b.x), np.asarray(b.embedding)))
+        epoch_losses = []
         for i, (batch, (x_dev, emb_dev)) in enumerate(staged):
             state, loss = step_fn(state, vae_params,
-                                  step_key(key, int(state.step)),
-                                  x_dev, emb_dev)
-            loss_list.append(float(loss))
+                                  step_key(key, step_no), x_dev, emb_dev)
+            step_no += 1
+            epoch_losses.append(loss)
             timer.tick()
             if i % 100 == 0:
                 print(f"[Epoch {epoch}] [batch {i}] loss: {float(loss)}")
+        # all steps are already dispatched; transfers happen at epoch end
+        loss_list.extend(float(np.asarray(v)) for v in epoch_losses)
         logger.log(epoch=epoch, loss=loss_list[-1],
                    steps_per_sec=timer.steps_per_sec)
         if epoch % args.save_every == 0 or epoch == args.epochs - 1:
             print(f"Saving model {epoch} to {args.save_path}...")
-            mgr.save(epoch, state.params, state.opt_state, loss_list)
+            mgr.save(epoch, state.params, state.opt_state, loss_list,
+                     opt_step=step_no)
     mgr.wait_until_finished()
     mgr.close()
     return state

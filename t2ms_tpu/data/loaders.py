@@ -100,11 +100,9 @@ class BucketBatcher:
     def epoch(self, epoch_idx: int = 0) -> Iterator[ArrayBatch]:
         rng = np.random.default_rng((self.seed, epoch_idx))
         slots: List[Tuple[int, np.ndarray]] = []
-        perms = {}
         for length, data in self.buckets.items():
             size = data["x"].shape[0]
             perm = rng.permutation(size)
-            perms[length] = perm
             n_full = size // self.batch_size
             for b in range(n_full):
                 slots.append((length, perm[b * self.batch_size:

@@ -65,10 +65,19 @@ class TrainCheckpointManager:
         return os.path.join(self.directory,
                             f"model_{step}.loss_history.npy")
 
-    def save(self, step: int, params, opt_state, loss_history=None) -> None:
+    def save(self, step: int, params, opt_state, loss_history=None,
+             opt_step: Optional[int] = None) -> None:
+        """``step`` names the checkpoint directory (the reference's EPOCH,
+        model_{epoch}); ``opt_step`` is the true optimizer-step counter.
+        They differ whenever an epoch has more than one batch — storing
+        the epoch into TrainState.step on resume would replay fold_in RNG
+        keys already consumed earlier in the run, so the payload keeps
+        both fields."""
         payload = {"params": _to_host(params),
                    "opt_state": _to_host(opt_state),
-                   "step": np.asarray(step)}
+                   "step": np.asarray(step if opt_step is None
+                                      else opt_step),
+                   "epoch": np.asarray(step)}
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
         np.save(self._sidecar(step),
                 np.asarray(loss_history if loss_history is not None else [],
@@ -89,9 +98,16 @@ class TrainCheckpointManager:
         if step is None:
             step = self.latest_step()
         target = {"params": params_like, "opt_state": opt_state_like,
-                  "step": np.asarray(0)}
-        restored = dict(self._mgr.restore(
-            step, args=ocp.args.StandardRestore(target)))
+                  "step": np.asarray(0), "epoch": np.asarray(0)}
+        try:
+            restored = dict(self._mgr.restore(
+                step, args=ocp.args.StandardRestore(target)))
+        except (ValueError, KeyError):
+            # pre-epoch-field checkpoint: its payload step IS the epoch
+            target.pop("epoch")
+            restored = dict(self._mgr.restore(
+                step, args=ocp.args.StandardRestore(target)))
+            restored["epoch"] = restored["step"]
         sidecar = self._sidecar(step)
         restored["loss_history"] = (np.load(sidecar).tolist()
                                     if os.path.exists(sidecar) else [])
@@ -180,8 +196,15 @@ def load_train_ckpt(path: str, params_like, opt_state_like) -> Dict[str, Any]:
             "params": params_like,
             "opt_state": opt_state_like,
             "step": np.asarray(0),
+            "epoch": np.asarray(0),
         }
-        restored = _ckptr().restore(os.path.abspath(path), target)
+        try:
+            restored = _ckptr().restore(os.path.abspath(path), target)
+        except (ValueError, KeyError):
+            # pre-epoch-field checkpoint: payload step IS the epoch
+            target.pop("epoch")
+            restored = dict(_ckptr().restore(os.path.abspath(path), target))
+            restored["epoch"] = restored["step"]
     hist_path = hist_base + ".loss_history.npy"
     legacy = os.path.join(hist_base, "loss_history.npy")
     if os.path.exists(hist_path):
