@@ -38,18 +38,8 @@ def parse_literal_rows(rows, row_len: Optional[int] = None) -> np.ndarray:
     on 600K-row corpora. Falls back to ast parsing when the native library
     is unavailable. Handles both comma- and space-separated literals."""
     rows = list(rows)
-
-    def _py_parse(r):
-        if not isinstance(r, str):
-            return list(r)
-        try:
-            return list(ast.literal_eval(r))
-        except (ValueError, SyntaxError):
-            return [float(v) for v in
-                    r.replace("[", "").replace("]", "").strip().split()]
-
     if row_len is None:
-        row_len = len(_py_parse(rows[0]))
+        row_len = len(_parse_row(rows[0]))
     from t2ms_tpu.utils.native import load_native
     lib = load_native()
     if lib is not None and all(isinstance(r, str) for r in rows):
@@ -62,7 +52,19 @@ def parse_literal_rows(rows, row_len: Optional[int] = None) -> np.ndarray:
         if got == len(rows):
             return out
         # fall through to python parsing on shape mismatch
-    return np.asarray([_py_parse(r) for r in rows], dtype=np.float64)
+    return np.asarray([_parse_row(r) for r in rows], dtype=np.float64)
+
+
+def _parse_row(r):
+    """One bracketed float-list literal -> python list (comma- or
+    space-separated, reference dataset.py:76,84-94)."""
+    if not isinstance(r, str):
+        return list(r)
+    try:
+        return list(ast.literal_eval(r))
+    except (ValueError, SyntaxError):
+        return [float(v) for v in
+                r.replace("[", "").replace("]", "").strip().split()]
 
 
 def split_indices(size: int, ratio: float, seed: int = 123):
@@ -104,8 +106,18 @@ def load_t2s_csv(name: str, data_root: str, period: str = "train",
         raise ValueError("period must be train or test")
     df = pd.read_csv(os.path.join(data_root, name + ".csv"))
     texts = df["Text"].tolist()
-    series = parse_literal_rows(df["OT"].tolist())
-    if "TSL" not in name.split("_"):
+    if "TSL" in name.split("_"):
+        # TSL rows may be RAGGED and are kept unscaled as an object array
+        # (reference dataset.py:77-78 np.array(parsed, dtype=object))
+        parsed = [_parse_row(r) for r in df["OT"]]
+        if len({len(p) for p in parsed}) == 1:
+            series = np.asarray(parsed, np.float64)
+        else:
+            series = np.empty(len(parsed), dtype=object)
+            for i, p in enumerate(parsed):
+                series[i] = np.asarray(p, np.float64)
+    else:
+        series = parse_literal_rows(df["OT"].tolist())
         # MinMaxScaler fit/transform over columns (dataset.py:81-82)
         mn = series.min(axis=0)
         rng_ = series.max(axis=0) - mn
@@ -116,7 +128,8 @@ def load_t2s_csv(name: str, data_root: str, period: str = "train",
     tr, te = split_indices(series.shape[0], proportion, seed)
     idx = tr if period == "train" else te
     return T2SData(
-        samples=series[idx].astype(np.float32),
+        samples=(series[idx] if series.dtype == object
+                 else series[idx].astype(np.float32)),
         texts=[texts[i] for i in idx],
         embeddings=embeddings[idx],
         name=name,

@@ -43,11 +43,12 @@ from jax import lax
 
 
 def _make_optimizer(lr: float):
-    """Single definition of the TS2Vec optimizer (reference ts2vec.py:64
-    AdamW): used by BOTH __init__ (whose opt_state the scan consumes) and
-    _fit_scan (whose static args must stay hashable, hence the shared
-    factory rather than passing the transformation object)."""
-    return optax.adamw(lr)
+    """Single definition of the TS2Vec optimizer (reference ts2vec.py:104
+    torch.optim.AdamW with DEFAULT kwargs — torch's default weight_decay
+    is 0.01, not optax's 1e-4): shared by fit (which creates opt_state)
+    and _fit_scan (whose static args must stay hashable, hence a factory
+    rather than passing the transformation object)."""
+    return optax.adamw(lr, weight_decay=0.01)
 
 __all__ = ["TS2Vec", "initialize_ts2vec", "TSEncoder",
            "hierarchical_contrastive_loss",
@@ -80,7 +81,14 @@ class _ConvBlock(nn.Module):
     """gelu->conv->gelu->conv with residual/projector (reference ConvBlock
     :420-433). ``pad_keep`` re-zeroes NaN-padded positions after every
     affine op so a padded buffer computes exactly what the short window
-    would (conv zero-padding must stay zero, not leak biases)."""
+    would (conv zero-padding must stay zero, not leak biases).
+
+    DELIBERATE deviation for in-window NaN gaps: the reference's conv
+    stack lets bias/conv activations bleed INTO genuinely-missing
+    timesteps (it only zeroes before input_fc), so such positions carry
+    garbage into the loss and the full_series max-pool; here they stay
+    exactly 0 at every block. Identical whenever NaNs are only padding
+    (our pipeline's case — window realization + split padding)."""
     features: int
     dilation: int
     final: bool = False
@@ -273,8 +281,12 @@ class TS2Vec:
         self.optimizer = _make_optimizer(lr)
         self.params = None
         self.swa_params = None
-        self.swa_n = 0
+        # the reference snapshots the INIT weights into the average
+        # (AveragedModel(...).update_parameters in __init__, :64-65), so
+        # the SWA mean is mean(init, p1..pN) — n starts at 1, not 0
+        self.swa_n = 1
         self.n_iters = 0
+        self.n_epochs = 0
 
     # -- training ----------------------------------------------------------
 
@@ -294,6 +306,13 @@ class TS2Vec:
                 padded = [np.pad(s, ((0, 0), (0, L - s.shape[1]), (0, 0)),
                                  constant_values=np.nan) for s in splits]
                 train_data = np.concatenate(padded, axis=0)
+        # rows with all-NaN leading/trailing timesteps are re-centered so
+        # the padding splits across both ends (reference :95-97 + :542-549
+        # centerize_vary_length_series) — triggered e.g. by the uneven
+        # split-pad above
+        missing = np.isnan(train_data).all(axis=-1).any(axis=0)
+        if train_data.shape[1] and (missing[0] or missing[-1]):
+            train_data = _centerize_vary_length_series(train_data)
         train_data = train_data[
             ~np.isnan(train_data).all(axis=2).all(axis=1)]
 
@@ -303,9 +322,16 @@ class TS2Vec:
         ts_l = train_data.shape[1]
         bs = min(self.batch_size, n)
         per_epoch = max((n - bs) // bs + 1, 1) if n >= bs else 0
-        if n_iters is None:
-            n_iters = n_epochs * per_epoch
-        if n_iters <= 0 or per_epoch == 0:
+        if per_epoch == 0:
+            return []
+        # targets are CUMULATIVE across fit() calls (the reference's
+        # persistent self.n_iters/self.n_epochs counters make a repeated
+        # fit(n_iters=N) a no-op)
+        if n_iters is not None:
+            n_iters = n_iters - self.n_iters
+        else:
+            n_iters = (n_epochs - self.n_epochs) * per_epoch
+        if n_iters <= 0:
             return []
 
         if self.params is None:
@@ -324,6 +350,12 @@ class TS2Vec:
         w2_len = np.empty((n_iters,), np.int32)
         s1 = np.empty((n_iters,), np.int32)
         crop_ls = np.empty((n_iters,), np.int32)
+        # when the buffer is still longer than max_train_length (sections
+        # < 2, or an uneven split), the reference re-crops EVERY batch to
+        # a random max_train_length window (:120-122) — sample the crop
+        # geometry within that window and shift the starts by its offset
+        mtl = self.max_train_length
+        eff_l = ts_l if mtl is None else min(ts_l, mtl)
         it = 0
         while it < n_iters:
             order = self.rng.permutation(n)
@@ -331,19 +363,22 @@ class TS2Vec:
                 if it >= n_iters:
                     break
                 idx[it] = order[b0:b0 + bs]
+                win = (0 if eff_l == ts_l
+                       else int(self.rng.integers(ts_l - eff_l + 1)))
                 crop_l = int(self.rng.integers(
-                    2 ** (self.temporal_unit + 1), ts_l + 1))
-                crop_left = int(self.rng.integers(ts_l - crop_l + 1))
+                    2 ** (self.temporal_unit + 1), eff_l + 1))
+                crop_left = int(self.rng.integers(eff_l - crop_l + 1))
                 crop_right = crop_left + crop_l
                 crop_eleft = int(self.rng.integers(crop_left + 1))
-                crop_eright = int(self.rng.integers(crop_right, ts_l + 1))
+                crop_eright = int(self.rng.integers(crop_right, eff_l + 1))
                 offsets = self.rng.integers(-crop_eleft,
-                                            ts_l - crop_eright + 1, size=bs)
-                w1_start[it] = offsets + crop_eleft
+                                            eff_l - crop_eright + 1,
+                                            size=bs)
+                w1_start[it] = win + offsets + crop_eleft
                 w1_len[it] = crop_right - crop_eleft
                 # overlap = LAST crop_l of window1, FIRST crop_l of window2
                 s1[it] = (crop_right - crop_eleft) - crop_l
-                w2_start[it] = offsets + crop_left
+                w2_start[it] = win + offsets + crop_left
                 w2_len[it] = crop_eright - crop_left
                 crop_ls[it] = crop_l
                 it += 1
@@ -362,12 +397,15 @@ class TS2Vec:
         self.swa_n += n_iters
         self.n_iters += n_iters
 
+        # only COMPLETED epochs are logged — the reference breaks on
+        # 'interrupted' before appending the partial epoch's mean (:160)
         loss_log = []
-        for e0 in range(0, n_iters, per_epoch):
+        for e0 in range(0, n_iters - per_epoch + 1, per_epoch):
             chunk = losses[e0:e0 + per_epoch]
             loss_log.append(float(chunk.mean()))
             if verbose:
-                print(f"Epoch #{e0 // per_epoch}: loss={loss_log[-1]}")
+                print(f"Epoch #{self.n_epochs}: loss={loss_log[-1]}")
+            self.n_epochs += 1
         return loss_log
 
     # -- inference ---------------------------------------------------------
@@ -384,8 +422,8 @@ class TS2Vec:
                 outs.append(np.asarray(_encode_full_series_jit(
                     self.encoder, self.swa_params, x)))
             else:
-                outs.append(np.asarray(self.encoder.apply(
-                    self.swa_params, x, train=False)))
+                outs.append(np.asarray(_encode_jit(
+                    self.encoder, self.swa_params, x)))
         return np.concatenate(outs, axis=0)
 
     def save(self, fn: str):
@@ -448,6 +486,24 @@ def _fit_scan(encoder, lr, temporal_unit, params, opt_state, swa_params,
         body, (params, opt_state, swa_params, swa_n0),
         (idx, w1_start, w1_len, s1, w2_start, w2_len, crop_ls, keys))
     return (params, opt_state, swa_params), losses
+
+
+def _centerize_vary_length_series(x: np.ndarray) -> np.ndarray:
+    """Roll each row so its all-NaN padding splits across both ends
+    (reference ts2vec.py:542-549, same ogrid gather)."""
+    prefix = np.argmax(~np.isnan(x).all(axis=-1), axis=1)
+    suffix = np.argmax(~np.isnan(x[:, ::-1]).all(axis=-1), axis=1)
+    offset = (prefix + suffix) // 2 - prefix
+    rows, cols = np.ogrid[:x.shape[0], :x.shape[1]]
+    offset[offset < 0] += x.shape[1]
+    return x[rows, cols - offset[:, np.newaxis]]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _encode_jit(encoder, params, x):
+    """Per-timestep encode as ONE program (the unjitted flax apply would
+    dispatch every conv separately — ~5-10 ms each through the tunnel)."""
+    return encoder.apply(params, x, train=False)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

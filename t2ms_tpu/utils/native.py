@@ -12,7 +12,9 @@ from typing import Optional
 
 __all__ = ["load_native", "native_dir"]
 
-_LIB: Optional[ctypes.CDLL] = None
+# None = not attempted yet; False = attempted and failed (cached so a
+# missing g++ doesn't re-spawn a compile per CSV parse); CDLL = loaded
+_LIB = None
 
 
 def native_dir() -> str:
@@ -31,7 +33,7 @@ def _sources_hash(sources) -> str:
 def load_native() -> Optional[ctypes.CDLL]:
     global _LIB
     if _LIB is not None:
-        return _LIB
+        return _LIB or None          # False = cached build failure
     nd = native_dir()
     so = os.path.join(nd, "libt2ms_native.so")
     hash_file = so + ".srchash"
@@ -54,6 +56,7 @@ def load_native() -> Optional[ctypes.CDLL]:
                 f.write(want_hash)
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
             print(f"native build failed ({e}); falling back to numpy paths")
+            _LIB = False             # don't retry the build every call
             return None
     lib = ctypes.CDLL(so)
 

@@ -37,6 +37,24 @@ def test_t2s_csv_roundtrip(tmp_path):
     assert len(train.texts) == 45
 
 
+def test_t2s_tsl_ragged_rows(tmp_path):
+    """A TSL-named CSV with ragged OT literals loads as an UNscaled
+    object array (reference dataset.py:77-78) instead of crashing."""
+    import pandas as pd
+    rows = [[1.0, 2.0, 3.0], [4.0, 5.0], [6.0, 7.0, 8.0, 9.0],
+            [1.5, 2.5, 3.5], [0.5, 1.0]]
+    pd.DataFrame({
+        "Text": [f"t{i}" for i in range(5)],
+        "OT": [str(r) for r in rows],
+        "TextEmbedding": [str([0.1] * 8)] * 5,
+    }).to_csv(tmp_path / "synth_TSL_x.csv", index=False)
+    d = load_t2s_csv("synth_TSL_x", str(tmp_path), "train",
+                     proportion=0.8, seed=123)
+    assert d.samples.dtype == object and len(d) == 4
+    got = {tuple(np.asarray(s)) for s in d.samples}
+    assert got <= {tuple(r) for r in rows}     # unscaled, original values
+
+
 def test_t2s_mmd_style_embeddings(tmp_path):
     write_t2s_csv(str(tmp_path / "embedding_cleaned_Agriculture_24.csv"),
                   n=20, T=24, mmd_style=True)

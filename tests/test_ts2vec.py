@@ -153,16 +153,53 @@ def test_masked_hierarchical_loss_gradients_finite():
     assert np.abs(np.asarray(g)[:, 5:]).max() == 0.0
 
 
-def test_fit_is_single_program_and_incremental():
-    """fit twice: params advance, loss log has the right epoch count."""
+def test_fit_is_single_program_and_cumulative():
+    """fit targets are CUMULATIVE like the reference's persistent
+    self.n_iters counter (ts2vec.py:110-117): a second fit with an
+    already-reached target is a no-op, a higher target trains the
+    difference. swa_n counts the init snapshot (reference :64-65)."""
     rng = np.random.default_rng(9)
     data = rng.standard_normal((16, 16, 1)).astype(np.float32)
     m = TS2Vec(input_dims=1, output_dims=8, hidden_dims=8, depth=2,
                batch_size=8, seed=3)
     log1 = m.fit(data, n_iters=4)
     p1 = jax.tree_util.tree_leaves(m.params)[0].copy()
-    assert m.swa_n == 4 and len(log1) == 2    # 2 batches/epoch
-    log2 = m.fit(data, n_iters=2)
-    assert m.swa_n == 6 and len(log2) == 1
+    assert m.swa_n == 5 and len(log1) == 2    # init snapshot + 4 iters
+    assert m.fit(data, n_iters=4) == []       # target already reached
+    p1b = jax.tree_util.tree_leaves(m.params)[0]
+    assert np.allclose(np.asarray(p1), np.asarray(p1b))
+    log2 = m.fit(data, n_iters=6)             # 2 more iters = 1 epoch
+    assert m.swa_n == 7 and len(log2) == 1
     p2 = jax.tree_util.tree_leaves(m.params)[0]
     assert not np.allclose(np.asarray(p1), np.asarray(p2))
+
+
+def test_fit_recrops_long_series_to_max_train_length():
+    """When the (possibly split) buffer still exceeds max_train_length,
+    every batch is re-cropped to a random mtl window (reference
+    :120-122): all sampled crop windows must fit inside ts_l and have
+    length <= mtl."""
+    rng = np.random.default_rng(4)
+    data = rng.standard_normal((10, 40, 1)).astype(np.float32)
+    m = TS2Vec(input_dims=1, output_dims=8, hidden_dims=8, depth=2,
+               batch_size=4, max_train_length=24, seed=5)
+    # 40 // 24 = 1 section -> no split; the re-crop path must bound crops
+    log = m.fit(data, n_iters=6)
+    assert len(log) >= 1 and all(np.isfinite(log))
+
+
+def test_fit_centerizes_nan_padded_buffers():
+    """Rows with trailing all-NaN padding (e.g. from the uneven
+    max_train_length split) are re-centered like the reference's
+    centerize_vary_length_series before training."""
+    from t2ms_tpu.evaluate.ts2vec import _centerize_vary_length_series
+    x = np.full((2, 8, 1), np.nan, np.float32)
+    x[0, :4, 0] = [1, 2, 3, 4]            # leading data, trailing NaN
+    x[1, 2:8, 0] = [5, 6, 7, 8, 9, 10]    # offset data
+    c = _centerize_vary_length_series(x)
+    # row 0: 4 valid of 8 -> centered with 2 NaN each side
+    assert np.isnan(c[0, :2, 0]).all() and np.isnan(c[0, 6:, 0]).all()
+    np.testing.assert_array_equal(c[0, 2:6, 0], [1, 2, 3, 4])
+    # row 1 already ends at the boundary: 2 leading NaNs -> split 1/1
+    assert np.isnan(c[1, 0, 0]) and np.isnan(c[1, 7, 0])
+    np.testing.assert_array_equal(c[1, 1:7, 0], [5, 6, 7, 8, 9, 10])
