@@ -40,15 +40,13 @@ def evaluate_data(args, ori_data, gen_data):
                               "shape with original data.")
         return None
     result = {}
+    ntd_ori = np.transpose(ori_data, (0, 2, 1))
+    ntd_gen = np.transpose(gen_data, (0, 2, 1))
     if "C-FID" in methods:
-        ntd_ori = np.transpose(ori_data, (0, 2, 1))
-        ntd_gen = np.transpose(gen_data, (0, 2, 1))
         fid_model = initialize_ts2vec(ntd_ori, args.device)
         ori_repr = fid_model.encode(ntd_ori, encoding_window="full_series")
         gen_repr = fid_model.encode(ntd_gen, encoding_window="full_series")
         result["C-FID"] = calculate_fid(ori_repr, gen_repr)
-    ntd_ori = np.transpose(ori_data, (0, 2, 1))
-    ntd_gen = np.transpose(gen_data, (0, 2, 1))
     if "MSE" in methods:
         result["MSE"] = calculate_mse(ntd_ori, ntd_gen)
     if "WAPE" in methods:

@@ -57,7 +57,13 @@ def evaluate_data(args, ori_data, gen_data, index, result):
     obs = ntd_ori[:1]                                    # (1, T, D)
     gen_runs = np.transpose(ntd_gen, (1, 2, 0))[None]    # (1, T, D, G)
     if "C-FID" in methods:
-        fid_model = initialize_ts2vec(ntd_ori, args.device)
+        # the extractor trains on the VARIED generated runs — exactly the
+        # stack the reference fits on (its swapped 'ori_data', :249).
+        # Training on ntd_ori here would fit TS2Vec to G IDENTICAL
+        # ground-truth copies (zero covariance), degenerating the metric.
+        # Fréchet distance itself is symmetric, so only the training
+        # stack matters.
+        fid_model = initialize_ts2vec(ntd_gen, args.device)
         r1 = fid_model.encode(ntd_ori.astype(np.float32),
                               encoding_window="full_series")
         r2 = fid_model.encode(ntd_gen.astype(np.float32),

@@ -48,7 +48,14 @@ def get_args(argv=None):
                    choices=["precomputed", "fake", "openai"],
                    help="live text embedding provider (reference uses "
                         "openai; precomputed = offline dataset embeddings)")
-    p.add_argument("--max_batches", type=int, default=10)
+    p.add_argument("--max_batches", type=int, default=10,
+                   help="LAST batch index processed (inclusive, so N+1 "
+                        "batches) — reproduces the reference's "
+                        "'if batch == 10: break' AFTER processing "
+                        "(myinfer.py:218-219); 0 = no cap. NOTE the "
+                        "default thus writes sample_0..sample_10 while "
+                        "myevaluation's --n_samples default reads only "
+                        "sample_0..9, exactly like the reference pair")
     p.add_argument("--render_gifs", type=lambda s: s not in ("0", "False"),
                    default=True)
     p.add_argument("--compute_dtype", type=str, default="f32",
@@ -86,10 +93,11 @@ def save_result(root: str, features: dict, render_gifs: bool = True):
             print(f"skipping skeleton GIFs (missing feature {e})")
 
 
-def infer(args, run_dir: str, seed_offset: int = 0):
-    os.makedirs(run_dir, exist_ok=True)
-    print(f"Inference config::Step: {args.total_step}\t"
-          f"CFG Scale: {args.cfg_scale}")
+def _build_ctx(args):
+    """Everything reusable across runs — loader, models, params, the
+    per-length jitted samplers. --run_time 10 previously rebuilt and
+    re-jitted every length bucket per run (minutes-scale compiles
+    through the tunnel, CLAUDE.md); cli/infer.py uses the same pattern."""
     _, test_batcher = motion_loader_provider(args, "test")
 
     vae = build_motion_vae(args)
@@ -97,6 +105,10 @@ def infer(args, run_dir: str, seed_offset: int = 0):
     vae_params = vae.init(jax.random.key(0), probe)
     if os.path.exists(args.pretrainedvae_path):
         vae_params = ckpt.load_params(args.pretrainedvae_path, vae_params)
+    else:
+        print(f"WARNING: no pretrained VAE at {args.pretrainedvae_path}; "
+              "using the deterministic random init (outputs are "
+              "meaningless if a trained VAE was expected)")
 
     from t2ms_tpu.training.scaling import parse_dtype
     denoiser = build_denoiser(args.denoiser, latent_len=args.flow_dim,
@@ -109,10 +121,26 @@ def infer(args, run_dir: str, seed_offset: int = 0):
     if os.path.exists(args.checkpoint_path):
         d_params = ckpt.load_train_ckpt(args.checkpoint_path, d_params,
                                         None)["params"]
+    else:
+        print(f"WARNING: no checkpoint at {args.checkpoint_path}; "
+              "sampling from random weights")
 
     embedder = (get_embedder(args.embedder)
                 if args.embedder != "precomputed" else None)
-    samplers = {}
+    return dict(test_batcher=test_batcher, vae=vae, vae_params=vae_params,
+                denoiser=denoiser, d_params=d_params, embedder=embedder,
+                samplers={})
+
+
+def infer(args, run_dir: str, seed_offset: int = 0, ctx=None):
+    os.makedirs(run_dir, exist_ok=True)
+    print(f"Inference config::Step: {args.total_step}\t"
+          f"CFG Scale: {args.cfg_scale}")
+    ctx = ctx if ctx is not None else _build_ctx(args)
+    test_batcher, embedder = ctx["test_batcher"], ctx["embedder"]
+    vae, vae_params = ctx["vae"], ctx["vae_params"]
+    denoiser, d_params = ctx["denoiser"], ctx["d_params"]
+    samplers = ctx["samplers"]
     key = root_key(args.general_seed + seed_offset)
 
     x1s, xts, mses, subjects = [], [], [], []
@@ -159,9 +187,10 @@ def infer(args, run_dir: str, seed_offset: int = 0):
 def main(argv=None):
     args = get_args(argv)
     x_1_list = None
+    ctx = _build_ctx(args)      # one loader + one jitted sampler per length
     for i in range(args.run_time):
         run_dir = os.path.join(args.generation_save_path, f"run_{i}")
-        x_1_list = infer(args, run_dir, i)
+        x_1_list = infer(args, run_dir, i, ctx=ctx)
     if x_1_list and args.render_gifs and args.dataset_name == "benchpress":
         feature_names = args.features[-args.input_dim:]
         last_dir = os.path.join(args.generation_save_path,

@@ -32,6 +32,7 @@ def prefetch_to_device(batch_iter: Iterator, size: int = 2,
     from t2ms_tpu.parallel.mesh import global_shard_batch
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
+    stop = threading.Event()
 
     def _place(batch):
         payload = transform(batch) if transform is not None else batch
@@ -43,21 +44,45 @@ def prefetch_to_device(batch_iter: Iterator, size: int = 2,
             lambda a: jax.device_put(np.asarray(a))
             if isinstance(a, (np.ndarray, jax.Array)) else a, payload)
 
+    def _put(item) -> bool:
+        """Bounded put that gives up when the consumer is gone —
+        otherwise an abandoned generator (e.g. step_fn raised mid-epoch)
+        leaves this thread blocked in q.put forever, pinning the staged
+        device-resident batches."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for batch in batch_iter:
-                q.put(_place(batch))
+                if not _put(_place(batch)):
+                    return
         except Exception as e:  # surface errors on the consumer side
-            q.put(e)
+            _put(e)
         finally:
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            break
-        if isinstance(item, Exception):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        # consumer abandoned (or finished): release the worker and the
+        # staged batches it holds
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

@@ -94,4 +94,14 @@ def motion_loader_provider(args, period: str = "train"
             test_bucket, args.batch_size, seed=args.general_seed,
             drop_last=False, emb_index=emb_index)
         return batcher, test_batcher
-    return batcher, batcher
+    # period='test' builds only the 10% split (native lengths); the
+    # train slot is its 90% complement over the same record space so the
+    # documented (train, test) contract holds for every period
+    train_bucket: Dict[int, list] = {}
+    for i in train_idx:
+        length, rec = combined[i]
+        train_bucket.setdefault(length, []).append(rec)
+    train_batcher = BucketBatcher.from_motion(
+        train_bucket, args.batch_size, seed=args.general_seed,
+        drop_last=True, emb_index=emb_index)
+    return train_batcher, batcher
