@@ -78,10 +78,16 @@ def train(args):
         params = model.init(jax.random.key(args.general_seed), x0,
                             jnp.zeros((x0.shape[0], 128)))
 
+        drop_root = jax.random.key(args.general_seed + 1)
+
         @jax.jit
         def step_fn(state, x):
+            # per-step dropout key (reference trains the TSae with p=0.1
+            # dropout everywhere — TSae.py:114; train mode in shared_eval)
+            dkey = jax.random.fold_in(drop_root, state.step)
             (loss, _), g = jax.value_and_grad(
-                lambda p: tsae_loss(model, p, x), has_aux=True)(state.params)
+                lambda p: tsae_loss(model, p, x, dropout_key=dkey),
+                has_aux=True)(state.params)
             u, opt_state = opt.update(g, state.opt_state, state.params)
             return (TrainState(optax.apply_updates(state.params, u),
                                opt_state, state.step + 1), (loss, loss))

@@ -30,11 +30,21 @@ __all__ = ["calculate_dtw", "dtw_native", "dtw_numpy", "dtw_jax",
            "dtw_jax_batch"]
 
 
-def dtw_numpy(a: np.ndarray, b: np.ndarray) -> float:
-    """Two-row numpy DP (fallback)."""
-    a = np.atleast_2d(np.asarray(a, np.float64))
-    b = np.atleast_2d(np.asarray(b, np.float64))
-    if a.ndim == 2 and a.shape[1] != b.shape[1]:
+def _as_frames(x) -> np.ndarray:
+    """(T,) -> (T, 1): a univariate series is T scalar FRAMES (reference
+    metrics.py:139-170), not one T-dimensional frame — np.atleast_2d's
+    (1, T) would silently compute plain Euclidean distance."""
+    x = np.asarray(x, np.float64)
+    return x[:, None] if x.ndim == 1 else x
+
+
+def dtw_numpy(a: np.ndarray, b: np.ndarray, window: int = 0) -> float:
+    """Two-row numpy DP (fallback). ``window`` is the same Sakoe-Chiba
+    band as native/dtw.cpp (centered on the scaled diagonal; <= 0 =
+    unconstrained) so fallback hosts agree with native ones."""
+    a = _as_frames(a)
+    b = _as_frames(b)
+    if a.shape[1] != b.shape[1]:
         raise ValueError("dim mismatch")
     T1, T2 = a.shape[0], b.shape[0]
     prev = np.full(T2 + 1, np.inf)
@@ -42,7 +52,12 @@ def dtw_numpy(a: np.ndarray, b: np.ndarray) -> float:
     for i in range(1, T1 + 1):
         cost = np.sum((a[i - 1][None, :] - b) ** 2, axis=1)
         curr = np.full(T2 + 1, np.inf)
-        for j in range(1, T2 + 1):
+        j_lo, j_hi = 1, T2
+        if window > 0:
+            center = int(i * (T2 / T1))
+            j_lo = max(center - window, 1)
+            j_hi = min(center + window, T2)
+        for j in range(j_lo, j_hi + 1):
             curr[j] = cost[j - 1] + min(prev[j], curr[j - 1], prev[j - 1])
         prev = curr
     return float(np.sqrt(prev[T2]))
@@ -51,12 +66,12 @@ def dtw_numpy(a: np.ndarray, b: np.ndarray) -> float:
 def dtw_native(a: np.ndarray, b: np.ndarray, window: int = 0) -> float:
     """Single-pair native DTW; falls back to numpy if the .so can't build."""
     lib = _load_native()
-    a = np.ascontiguousarray(np.atleast_2d(a), np.float64)
-    b = np.ascontiguousarray(np.atleast_2d(b), np.float64)
+    a = np.ascontiguousarray(_as_frames(a))
+    b = np.ascontiguousarray(_as_frames(b))
     if a.shape[-1] != b.shape[-1]:
         raise ValueError("dim mismatch")
     if lib is None:
-        return dtw_numpy(a, b)
+        return dtw_numpy(a, b, window)
     return float(lib.t2ms_dtw_ndim(
         a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), a.shape[0],
         b.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), b.shape[0],
@@ -69,9 +84,12 @@ def calculate_dtw(ori_data: np.ndarray, comp_data: np.ndarray,
     myevaluation.py:174-183): inputs (N, T, D) frames x dims."""
     ori = np.ascontiguousarray(ori_data, np.float64)
     gen = np.ascontiguousarray(comp_data, np.float64)
+    if ori.shape[0] != gen.shape[0]:
+        # zip() below would silently truncate to the shorter batch
+        raise ValueError(f"batch mismatch: {ori.shape[0]} vs "
+                         f"{gen.shape[0]}")
     lib = _load_native()
-    if (lib is not None and ori.ndim == 3 and gen.ndim == 3
-            and ori.shape[0] == gen.shape[0]):
+    if lib is not None and ori.ndim == 3 and gen.ndim == 3:
         N, T1, D = ori.shape
         T2 = gen.shape[1]
         out = np.empty(N, np.float64)
@@ -81,7 +99,8 @@ def calculate_dtw(ori_data: np.ndarray, comp_data: np.ndarray,
             N, T1, T2, D, window,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         return float(out.mean())
-    return float(np.mean([dtw_numpy(o, g) for o, g in zip(ori, gen)]))
+    return float(np.mean([dtw_numpy(o, g, window)
+                          for o, g in zip(ori, gen)]))
 
 
 # ---------------------------------------------------------------------------

@@ -77,8 +77,6 @@ class _Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        import jax as _jax
-
         from t2ms_tpu.ops.attention import attention as _attn_dispatch
         from t2ms_tpu.ops.attention import fused_heads_diffable
         B, N, D = x.shape
@@ -87,7 +85,7 @@ class _Attention(nn.Module):
         qkv = nn.Dense(3 * D, kernel_init=_xavier(), dtype=self.compute_dtype,
                        name="qkv")(x)
         impl = self.attention_impl
-        if impl == "auto" and _jax.default_backend() not in ("cpu",):
+        if impl == "auto" and jax.default_backend() not in ("cpu",):
             from t2ms_tpu.ops.attention import fused_heads_block_q
             bpe = jnp.dtype(self.compute_dtype).itemsize
             if fused_heads_block_q(N, D, bpe):
@@ -108,7 +106,6 @@ class _Attention(nn.Module):
                                 .transpose(2, 0, 3, 1, 4), 3, axis=0)
             q, k, v = q[0], k[0], v[0]                  # (B, h, N, hd)
             y = _attn_dispatch(q, k, v, impl=impl)
-            y = y.astype(self.compute_dtype)
             y = y.transpose(0, 2, 1, 3).reshape(B, N, D)
         y = y.astype(self.compute_dtype)
         return nn.Dense(D, kernel_init=_xavier(), dtype=self.compute_dtype,
@@ -202,8 +199,14 @@ class DiT(nn.Module):
         img = x.astype(dtype).transpose(0, 2, 1)              # (B, H, W)
         patches = img.reshape(B, nh, p, nw, p).transpose(0, 1, 3, 2, 4)
         patches = patches.reshape(B, pc, p * p)               # (B, pc, 4)
-        h = nn.Dense(p * p, kernel_init=_xavier(), dtype=dtype,
-                     name="patch_conv")(patches)              # conv-equivalent
+        # the reference's patchify Conv2d keeps torch's DEFAULT conv init
+        # (initialize_weights re-inits only nn.Linear, transformer.py:
+        # 194-200): kaiming_uniform(a=sqrt(5)) at fan_in=in*k*k equals
+        # the torch-Linear bounds, so reuse that helper for from-scratch
+        # training-dynamics parity (transplant tests are init-neutral)
+        from t2ms_tpu.models.denoisers.mlp import _torch_linear
+        h = nn.Dense(p * p, dtype=dtype, name="patch_conv",
+                     **_torch_linear(p * p))(patches)         # conv-equivalent
         h = nn.Dense(self.d_model, kernel_init=_xavier(), dtype=dtype,
                      name="patch_emb")(h)
         h = h + sinusoidal_positions(pc, self.d_model).astype(dtype)[None]

@@ -146,7 +146,19 @@ def lavae_loss(model: LAVAE, params, batch: jnp.ndarray):
     """loss = recon MSE + cross MSE(before, after) (vqvae.py:118-135).
     Returns (loss, (recon_error, recon, z)) for value_and_grad(has_aux)."""
     recon, z, before, after = model.apply(params, batch)
-    target = batch if batch.ndim == recon.ndim else batch[:, None, :]
+    # align channel-squeeze asymmetry EXPLICITLY: a (B, 1, T) batch vs a
+    # squeezed (B, T) recon must drop its channel axis — expanding the
+    # batch instead broadcast (B,1,1,T) against (B,T) into a silent
+    # cross-batch-pair mean
+    target = batch
+    if target.ndim == recon.ndim + 1 and target.shape[1] == 1:
+        target = target[:, 0]
+    elif target.ndim + 1 == recon.ndim:
+        target = target[:, None, :]
+    if target.shape != recon.shape:
+        raise ValueError(
+            f"batch {batch.shape} does not reconcile with recon "
+            f"{recon.shape}")
     recon_error = jnp.mean(jnp.square(recon - target))
     cross = jnp.mean(jnp.square(before - after))
     return recon_error + cross, (recon_error, recon, z)

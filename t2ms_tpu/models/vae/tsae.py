@@ -37,11 +37,15 @@ def _positional_encoding(T: int, d: int) -> jnp.ndarray:
 
 
 class _MHA(nn.Module):
+    """torch nn.MultiheadAttention equivalent, incl. its dropout on the
+    attention PROBABILITIES (TransformerEncoder/DecoderLayer pass their
+    ``dropout`` straight into MHA)."""
     d_model: int
     num_heads: int
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, q_in, kv_in, mask=None):
+    def __call__(self, q_in, kv_in, mask=None, deterministic=True):
         B, Tq, D = q_in.shape
         Tk = kv_in.shape[1]
         h = self.num_heads
@@ -53,55 +57,67 @@ class _MHA(nn.Module):
         if mask is not None:
             att = jnp.where(mask, -1e30, att)
         att = jax.nn.softmax(att, axis=-1)
+        att = nn.Dropout(self.dropout)(att, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, Tq, D)
         return nn.Dense(D, name="out")(out)
 
 
 class _EncoderLayer(nn.Module):
     """Pre-norm transformer encoder layer (norm_first=True in the
-    reference, TSae.py:138-145)."""
+    reference, TSae.py:138-145), with torch's three dropout sites:
+    after self-attention (dropout1), inside the FF after the activation,
+    and after the FF output (dropout2)."""
     d_model: int
     num_heads: int
     d_ff: int
+    dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic=True):
+        drop = lambda h: nn.Dropout(self.dropout)(
+            h, deterministic=deterministic)
         h = nn.LayerNorm()(x)
-        x = x + _MHA(self.d_model, self.num_heads, name="self_attn")(h, h)
+        x = x + drop(_MHA(self.d_model, self.num_heads, self.dropout,
+                          name="self_attn")(h, h,
+                                            deterministic=deterministic))
         h = nn.LayerNorm()(x)
-        h = nn.Dense(self.d_ff)(h)
-        h = nn.relu(h)
-        return x + nn.Dense(self.d_model)(h)
+        h = drop(nn.relu(nn.Dense(self.d_ff)(h)))
+        return x + drop(nn.Dense(self.d_model)(h))
 
 
 class _DecoderLayer(nn.Module):
     d_model: int
     num_heads: int
     d_ff: int
+    dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x, memory, causal_mask):
+    def __call__(self, x, memory, causal_mask, deterministic=True):
+        drop = lambda h: nn.Dropout(self.dropout)(
+            h, deterministic=deterministic)
         h = nn.LayerNorm()(x)
-        x = x + _MHA(self.d_model, self.num_heads, name="self_attn")(
-            h, h, causal_mask)
+        x = x + drop(_MHA(self.d_model, self.num_heads, self.dropout,
+                          name="self_attn")(h, h, causal_mask,
+                                            deterministic=deterministic))
         h = nn.LayerNorm()(x)
-        x = x + _MHA(self.d_model, self.num_heads, name="cross_attn")(
-            h, memory)
+        x = x + drop(_MHA(self.d_model, self.num_heads, self.dropout,
+                          name="cross_attn")(h, memory,
+                                             deterministic=deterministic))
         h = nn.LayerNorm()(x)
-        h = nn.Dense(self.d_ff)(h)
-        h = nn.relu(h)
-        return x + nn.Dense(self.d_model)(h)
+        h = drop(nn.relu(nn.Dense(self.d_ff)(h)))
+        return x + drop(nn.Dense(self.d_model)(h))
 
 
 class _AdaLN(nn.Module):
-    """LN modulated by a condition vector (reference AdaLN :52-91)."""
+    """LN modulated by a condition vector (reference AdaLN :52-91; torch
+    nn.GELU() default is the EXACT gelu, not the tanh approximation)."""
     d_model: int
 
     @nn.compact
     def __call__(self, x, condition):
         x_ln = nn.LayerNorm()(x)
         gb = nn.Dense(2 * self.d_model)(nn.gelu(
-            nn.Dense(4 * self.d_model)(condition)))
+            nn.Dense(4 * self.d_model)(condition), approximate=False))
         gamma, beta = jnp.split(gb, 2, axis=-1)
         return gamma[:, None, :] * x_ln + beta[:, None, :]
 
@@ -119,17 +135,22 @@ class TSae(nn.Module):
     d_ff: int = 128
     num_heads: int = 8
     max_text_dim: int = 128
+    dropout: float = 0.1     # reference default everywhere (TSae.py:114)
 
     def setup(self):
         self.value_embedding = nn.Dense(self.flow_dim)
+        self.embedding_dropout = nn.Dropout(self.dropout)
         self.embedding_ln = nn.LayerNorm()
+        self.pe_dropout = nn.Dropout(self.dropout)
+        self.dec_pe_dropout = nn.Dropout(self.dropout)
         self.enc_layers = [
             _EncoderLayer(self.flow_dim, self.num_heads, self.d_ff,
-                          name=f"enc_{i}")
+                          self.dropout, name=f"enc_{i}")
             for i in range(self.num_encoder_layers)]
         self.text_projection = nn.Dense(self.flow_dim)
         self.condition_projection = nn.Dense(self.flow_dim)
         self.fusion_fc1 = nn.Dense(self.flow_dim * 4)
+        self.fusion_dropout = nn.Dropout(self.dropout)
         self.fusion_fc2 = nn.Dense(self.flow_dim)
         self.fusion_ln = nn.LayerNorm()
         self.ada_ln = _AdaLN(self.flow_dim)
@@ -137,46 +158,61 @@ class TSae(nn.Module):
         self.output_projection = nn.Dense(self.n_features)
         self.dec_layers = [
             _DecoderLayer(self.flow_dim, self.num_heads, self.d_ff,
-                          name=f"dec_{i}")
+                          self.dropout, name=f"dec_{i}")
             for i in range(self.num_decoder_layers)]
 
     # -- pieces ------------------------------------------------------------
 
-    def encode(self, series: jnp.ndarray) -> jnp.ndarray:
-        """(B, T, n_f) -> (B, T, flow_dim) memory."""
-        h = self.value_embedding(series)
+    def encode(self, series: jnp.ndarray,
+               train: bool = False) -> jnp.ndarray:
+        """(B, T, n_f) -> (B, T, flow_dim) memory. Dropout sites mirror
+        the reference (TSae.py:127,131-135,170-180): embedding dropout
+        BEFORE the LN, positional-encoding dropout on the summed input,
+        and the torch TransformerEncoderLayer dropouts inside each
+        layer."""
+        det = not train
+        h = self.embedding_dropout(self.value_embedding(series),
+                                   deterministic=det)
         h = self.embedding_ln(h)
         T = h.shape[1]
-        h = h + _positional_encoding(T, self.flow_dim)[None]
+        h = self.pe_dropout(
+            h + _positional_encoding(T, self.flow_dim)[None],
+            deterministic=det)
         for layer in self.enc_layers:
-            h = layer(h)
+            h = layer(h, deterministic=det)
         return h
 
-    def fuse_condition(self, memory: jnp.ndarray,
-                       text_emb: jnp.ndarray) -> jnp.ndarray:
-        """Text fusion + AdaLN (reference ConditionFusionModule :245-274)."""
+    def fuse_condition(self, memory: jnp.ndarray, text_emb: jnp.ndarray,
+                       train: bool = False) -> jnp.ndarray:
+        """Text fusion + AdaLN (reference ConditionFusionModule :245-274;
+        dropout between the fusion MLP's ReLU and its second Linear)."""
         B, T, _ = memory.shape
         text_cond = self.text_projection(text_emb.reshape(B, -1))
         expanded = jnp.broadcast_to(text_cond[:, None, :],
                                     (B, T, self.flow_dim))
         fused = jnp.concatenate([memory, expanded], axis=-1)
-        fused = self.fusion_fc2(nn.relu(self.fusion_fc1(fused)))
+        fused = self.fusion_fc2(self.fusion_dropout(
+            nn.relu(self.fusion_fc1(fused)), deterministic=not train))
         fused = self.fusion_ln(fused + memory)
         return self.ada_ln(fused, self.condition_projection(text_cond))
 
     def decode_teacher_forced(self, memory: jnp.ndarray,
-                              target_seq: jnp.ndarray) -> jnp.ndarray:
+                              target_seq: jnp.ndarray,
+                              train: bool = False) -> jnp.ndarray:
         """Shifted-right teacher forcing with causal mask (reference
         TimeSeriesDecoder.forward :356-389)."""
+        det = not train
         B, T, _ = target_seq.shape
         emb = self.input_projection(target_seq)
         bos = jnp.zeros((B, 1, self.flow_dim), emb.dtype)
         dec_in = jnp.concatenate([bos, emb[:, :-1]], axis=1)
-        dec_in = dec_in + _positional_encoding(T, self.flow_dim)[None]
+        dec_in = self.dec_pe_dropout(
+            dec_in + _positional_encoding(T, self.flow_dim)[None],
+            deterministic=det)
         causal = jnp.triu(jnp.ones((T, T), bool), k=1)[None, None]
         h = dec_in
         for layer in self.dec_layers:
-            h = layer(h, memory, causal)
+            h = layer(h, memory, causal, deterministic=det)
         return self.output_projection(h)
 
     def generate(self, memory: jnp.ndarray) -> jnp.ndarray:
@@ -211,18 +247,18 @@ class TSae(nn.Module):
 
     # -- entry points ------------------------------------------------------
 
-    def __call__(self, series, text_emb):
+    def __call__(self, series, text_emb, train: bool = False):
         """Teacher-forced conditional reconstruction (reference forward
         :476-521)."""
-        mem = self.encode(series)
-        mem = self.fuse_condition(mem, text_emb)
-        return self.decode_teacher_forced(mem, series)
+        mem = self.encode(series, train)
+        mem = self.fuse_condition(mem, text_emb, train)
+        return self.decode_teacher_forced(mem, series, train)
 
-    def reconstruct_teacher_forced(self, series):
+    def reconstruct_teacher_forced(self, series, train: bool = False):
         """Unconditioned teacher-forced path used by shared_eval 'train'
         (reference :556-571, fusion commented out there)."""
-        mem = self.encode(series)
-        return self.decode_teacher_forced(mem, series)
+        mem = self.encode(series, train)
+        return self.decode_teacher_forced(mem, series, train)
 
     def reconstruct_autoregressive(self, series):
         """Inference path (reference forward_inference :523-554)."""
@@ -230,8 +266,16 @@ class TSae(nn.Module):
         return self.generate(mem)
 
 
-def tsae_loss(model: TSae, params, series: jnp.ndarray):
-    """Teacher-forced MSE (reference shared_eval :556-571)."""
-    recon = model.apply(params, series,
-                        method=model.reconstruct_teacher_forced)
+def tsae_loss(model: TSae, params, series: jnp.ndarray,
+              dropout_key=None):
+    """Teacher-forced MSE (reference shared_eval :556-571). With a
+    ``dropout_key`` the forward runs in train mode with the reference's
+    p=0.1 dropout everywhere; without one it is deterministic (eval)."""
+    if dropout_key is not None:
+        recon = model.apply(params, series, train=True,
+                            method=model.reconstruct_teacher_forced,
+                            rngs={"dropout": dropout_key})
+    else:
+        recon = model.apply(params, series,
+                            method=model.reconstruct_teacher_forced)
     return jnp.mean(jnp.square(recon - series)), recon
