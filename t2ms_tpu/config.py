@@ -19,7 +19,15 @@ from typing import Dict, Optional
 import yaml
 
 __all__ = ["get_cfg", "denoiser_ckpt_dir", "generation_dir",
-           "t2s_pretrained_dir", "motion_pretrained_dir", "FrameworkConfig"]
+           "t2s_pretrained_dir", "motion_pretrained_dir", "FrameworkConfig",
+           "env_flag"]
+
+
+def env_flag(name: str) -> bool:
+    """Boolean env var: '0', 'false', 'no', 'off' and '' are False —
+    a bare truthiness check would read T2MS_NAN_CHECK=0 as enabled."""
+    return os.environ.get(name, "").strip().lower() not in (
+        "", "0", "false", "no", "off")
 
 
 def get_cfg(args: argparse.Namespace) -> argparse.Namespace:
@@ -117,7 +125,7 @@ class FrameworkConfig:
         cfg = cls()
         if os.environ.get("T2MS_PROFILE_DIR"):
             cfg.profile_dir = os.environ["T2MS_PROFILE_DIR"]
-        if os.environ.get("T2MS_NAN_CHECK"):
+        if env_flag("T2MS_NAN_CHECK"):
             cfg.nan_check = True
         if os.environ.get("T2MS_COMPUTE_DTYPE"):
             cfg.compute_dtype = os.environ["T2MS_COMPUTE_DTYPE"]

@@ -41,6 +41,14 @@ def csv_path_for(dataset_name: str, data_root: str = "./Data",
     if dataset_name.split("-")[0] == "MMD":
         return os.path.join(data_root, "MMD")
     if family in MIXABLE_FAMILIES:
+        if mix_train and dataset_name != family:
+            # the mix path admits only bare family names (reference
+            # dataloader.py:84-99 raises); accepting 'ETTh1_24' here
+            # would compose double-suffixed nonexistent CSV names and
+            # fail far away with a confusing FileNotFoundError
+            raise ValueError(
+                f"mix_train expects a bare family name (e.g. {family!r}),"
+                f" got {dataset_name!r}")
         sub = "TSFragment-600K" if mix_train else "our"
         return os.path.join(data_root, sub)
     raise ValueError(f"unknown dataset {dataset_name}")

@@ -90,4 +90,12 @@ def host_local_batch_size(global_batch: int, mesh: Mesh) -> int:
     if global_batch % n_data != 0:
         raise ValueError(
             f"global batch {global_batch} not divisible by data axis {n_data}")
-    return global_batch // jax.process_count()
+    pc = jax.process_count()
+    if global_batch % pc != 0:
+        # the data axis can be smaller than the host count (e.g. TP-heavy
+        # meshes): integer division here would silently under-supply the
+        # global assembly
+        raise ValueError(
+            f"global batch {global_batch} not divisible by process "
+            f"count {pc}")
+    return global_batch // pc

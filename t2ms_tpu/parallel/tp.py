@@ -33,16 +33,10 @@ def _spec_for(path: str, leaf) -> P:
 
 def dit_param_spec(params) -> Any:
     """PartitionSpec pytree matching a DiT param tree."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    specs = {}
-    for path, leaf in flat:
-        key = "/".join(getattr(p, "key", str(p)) for p in path)
-        specs[key] = _spec_for(key, leaf)
-
-    def build(path, leaf):
-        key = "/".join(getattr(p, "key", str(p)) for p in path)
-        return specs[key]
-    return jax.tree_util.tree_map_with_path(build, params)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _spec_for(
+            "/".join(getattr(p, "key", str(p)) for p in path), leaf),
+        params)
 
 
 def shard_dit_params(params, mesh: Mesh):

@@ -87,8 +87,8 @@ def make_denoiser_train_step(
     9216, whose attention score tensor alone (9216x4x480x480) exceeds one
     chip's HBM.
     """
-    import os as _os
-    nan_guard = nan_guard or bool(_os.environ.get("T2MS_NAN_CHECK"))
+    from t2ms_tpu.config import env_flag
+    nan_guard = nan_guard or env_flag("T2MS_NAN_CHECK")
     sched = (ddpm_lib.make_schedule(total_step)
              if backbone == "ddpm" else None)
     if backbone not in ("flowmatching", "ddpm"):

@@ -23,10 +23,14 @@ def seed_everything(seed: int) -> "jax.Array":
     import random
 
     import numpy as np
-    if seed is not None:
-        print(f"Global seed set to {seed}")
-        random.seed(seed)
-        np.random.seed(seed)
+    if seed is None:
+        # reference utils.py:26-36 treats None as "don't seed"; a jax key
+        # must still be returned, so draw one from OS entropy
+        import os
+        return root_key(int.from_bytes(os.urandom(8), "little") >> 1)
+    print(f"Global seed set to {seed}")
+    random.seed(seed)
+    np.random.seed(seed)
     return root_key(seed)
 
 

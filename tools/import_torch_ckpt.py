@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import argparse
 import io
+import os
 import pickle
 import sys
 
@@ -215,7 +216,8 @@ def main(argv=None):
     else:
         params = lavae_params_from_state_dict(sd, args.num_residual_layers)
 
-    sys.path.insert(0, ".")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))     # repo root, cwd-independent
     from t2ms_tpu.training.checkpoints import save_params
     path = save_params(args.output, params, args.name)
     n = sum(v.size for v in _leaves(params))
