@@ -60,11 +60,18 @@ def run_experiment(root: str, rival_root: str, out_dir: str,
     for variant in variants:
         per_metric = {m: [] for m in ("mse", "wape", "correlational_score",
                                       "dtw", "sequence_correlation")}
+        cache = {}           # each file parses once, not once per rival
+
+        def load(path):
+            if path not in cache:
+                cache[path] = _load_merged(path)
+            return cache[path]
+
         for i in range(1, n_files + 1):
             ref_path = os.path.join(root, variant, f"merged_{i}.txt")
             if not os.path.exists(ref_path):
                 continue
-            ori = _load_merged(ref_path)
+            ori = load(ref_path)
             row = {m: [] for m in per_metric}
             for j in range(1, n_files + 1):
                 if self_compare and j == i:
@@ -72,7 +79,7 @@ def run_experiment(root: str, rival_root: str, out_dir: str,
                 cand = os.path.join(rival_root, variant, f"merged_{j}.txt")
                 if not os.path.exists(cand):
                     continue
-                gen = _load_merged(cand)
+                gen = load(cand)
                 ob, gb = ori[None], gen[None]
                 L = min(ori.shape[0], gen.shape[0])
                 row["mse"].append(calculate_mse(ob[:, :L], gb[:, :L]))

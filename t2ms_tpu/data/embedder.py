@@ -15,18 +15,12 @@ interface:
 
 from __future__ import annotations
 
-import hashlib
 from typing import Protocol, Sequence
 
 import numpy as np
 
 __all__ = ["TextEmbedder", "PrecomputedEmbedder", "FakeEmbedder",
            "OpenAIEmbedder", "build_benchpress_prefix"]
-
-_CATEGORIES = ["correct", "tilting_to_the_right", "tilting_to_the_left",
-               "elbows_flaring", "wrist_bending_backward",
-               "scapular_protraction"]
-
 
 def build_benchpress_prefix(text: str) -> str:
     """The caption prefix prepended before live embedding
@@ -53,19 +47,17 @@ class PrecomputedEmbedder:
 
 
 class FakeEmbedder:
-    """Deterministic unit-norm embedding from a text hash — offline stand-in
-    for the OpenAI call so inference and tests run hermetically."""
+    """Deterministic unit-norm embedding from a text hash — offline
+    stand-in for the OpenAI call so inference and tests run hermetically.
+    Delegates to pipeline.llm.FakeEmbed: the dataset-construction and
+    inference paths must stay bit-identical offline."""
     def __init__(self, dim: int = 128):
         self.dim = dim
 
     def embed(self, texts: Sequence[str]) -> np.ndarray:
-        out = np.empty((len(texts), self.dim), np.float32)
-        for i, t in enumerate(texts):
-            seed = int.from_bytes(
-                hashlib.sha256(t.encode()).digest()[:8], "little")
-            v = np.random.default_rng(seed).standard_normal(self.dim)
-            out[i] = (v / np.linalg.norm(v)).astype(np.float32)
-        return out
+        from t2ms_tpu.pipeline.llm import FakeEmbed
+        fe = FakeEmbed(self.dim)
+        return np.asarray([fe.embed(t) for t in texts], np.float32)
 
 
 class OpenAIEmbedder:

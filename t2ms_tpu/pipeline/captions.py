@@ -137,7 +137,10 @@ def generate_captions(client: ChatClient, data_path: str, output_path: str,
     for subject, clips in data.items():
         for clip, features in clips.items():
             save_dir = os.path.join(output_path, subject, str(clip))
-            if os.path.exists(save_dir):
+            # resume on the ARTIFACT, not the directory: a clip whose
+            # retries all failed leaves an empty dir which must be
+            # retried next run, not skipped forever
+            if os.path.exists(os.path.join(save_dir, "caption.json")):
                 continue  # resumable: already captioned
             os.makedirs(save_dir, exist_ok=True)
 

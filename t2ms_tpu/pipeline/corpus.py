@@ -100,9 +100,14 @@ def generate_corpus(client: ChatClient, embed_client: Optional[EmbedClient],
     for i in range(start, len(windows)):
         def run(i=i):
             cap = trend_caption(client, windows[i])
+            if not cap.get("Trend Analysis"):
+                # a schema mismatch must fail the clip's retries, not
+                # silently write an empty conditioning Text
+                raise ValueError(
+                    f"trend caption missing 'Trend Analysis': {cap}")
             payload = {
                 "sampled_time_series": windows[i],
-                "Text": cap.get("Trend Analysis", ""),
+                "Text": cap["Trend Analysis"],
             }
             if embed_client is not None:
                 payload["embedding"] = embed_client.embed(payload["Text"])
@@ -140,6 +145,10 @@ def validate_sample_json(file_path: str, sample_length: int
         return True, "Valid JSON format."
     except json.JSONDecodeError as e:
         return False, f"JSON decode error: {e}"
+    except Exception as e:   # valid JSON but wrong type, IO errors, ...
+        # the reference reports and keeps validating the rest
+        # (Get_Embedding...:81-82)
+        return False, f"An error occurred: {e}"
 
 
 def check_directory(directory: str, sample_length: int) -> List[str]:

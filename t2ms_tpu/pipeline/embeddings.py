@@ -81,9 +81,17 @@ def enrich_captions(client: EmbedClient, data_path: str,
         for d in clip_dirs:
             subject = os.path.basename(os.path.dirname(d))
             clip = os.path.basename(d)
-            futures[pool.submit(enrich_clip, client, d,
-                                data[subject][clip])] = d
+            feats = data.get(subject, {}).get(clip)
+            if feats is None:
+                # stray dir not in data.json: skip like the reference's
+                # tqdm-over-as_completed (which never raised per clip)
+                print(f"enrich: {subject}/{clip} not in data.json, skipped")
+                continue
+            futures[pool.submit(enrich_clip, client, d, feats)] = d
         for fut in as_completed(futures):
-            if fut.result():
-                n += 1
+            try:
+                if fut.result():
+                    n += 1
+            except Exception as e:  # keep enriching the remaining clips
+                print(f"enrich failed for {futures[fut]}: {e}")
     return n

@@ -68,6 +68,11 @@ class FakeChat:
 
     def complete(self, system: str, user: str) -> str:
         h = hashlib.sha256(user.encode()).hexdigest()[:8]
+        # answer with the schema THE PROMPT asks for — a trend prompt
+        # answered with a Summary payload made corpus.trend_caption
+        # silently write empty Text for every sample
+        if "Trend Analysis" in user:
+            return '{"Trend Analysis": "synthetic trend %s"}' % h
         if "JSON format" in user or "Summary" in user:
             return '{"Summary": "synthetic summary %s"}' % h
         return f"synthetic pairwise description {h}"

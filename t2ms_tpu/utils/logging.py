@@ -100,7 +100,10 @@ class StepTimer:
     def __init__(self, skip_first: int = 1):
         self.skip = skip_first
         self.count = 0
-        self.start = None
+        # skip_first=0 means "measure every step": the clock must start
+        # NOW (tick() could never see count == 0 after incrementing, so
+        # the rate stayed NaN forever)
+        self.start = time.perf_counter() if skip_first == 0 else None
 
     def tick(self) -> None:
         self.count += 1

@@ -195,7 +195,9 @@ class TopViewBenchpressAnimator:
         ax.plot([p0[0], p1[0]], [p0[1], p1[1]], "-", color="tab:gray", lw=3)
         ax.set_title(f"Frame {i + 1}")
 
-    def animate(self, output_file: str = None) -> str:
+    def animate(self, output_file: str) -> str:
+        # required (like RearView's): a None default only surfaced as an
+        # AttributeError AFTER rendering every frame
         path = _save_animation(self._render, self.n, output_file, self.fps)
         print(f"animation written: {path}")
         return path
