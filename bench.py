@@ -21,12 +21,9 @@ import time
 import jax
 import jax.numpy as jnp
 
-# Measured torch-CPU reference-equivalent throughput on this host
-# (scripts/measure_torch_baseline.py); update when re-measured.
-TORCH_BASELINE_SERIES_PER_SEC = None  # filled from BASELINE_MEASURED.json
-
-
 def _load_baseline():
+    """Measured torch-CPU reference-equivalent throughput on this host
+    (scripts/measure_torch_baseline.py writes BASELINE_MEASURED.json)."""
     path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
     if os.path.exists(path):
         with open(path) as f:

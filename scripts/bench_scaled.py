@@ -113,11 +113,18 @@ def main():
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--modes", default="train,serve")
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=64,
+                    help="train batch (serve uses --serve_batch)")
+    ap.add_argument("--serve_batch", type=int, default=16)
     args = ap.parse_args()
-    for mode in args.modes.split(","):
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+    bad = [m for m in modes if m not in ("train", "serve")]
+    if bad:
+        # a typo must not silently launch an expensive TPU train run
+        ap.error(f"unknown mode(s) {bad}; choose from train,serve")
+    for mode in modes:
         if mode == "serve":
-            print(json.dumps(bench_serve()), flush=True)
+            print(json.dumps(bench_serve(args.serve_batch)), flush=True)
         else:
             print(json.dumps(bench_train(args.batch)), flush=True)
 

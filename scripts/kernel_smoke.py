@@ -43,6 +43,11 @@ def _check(name, got, want, results, t_ms):
     """got/want: pytrees (tuples) of arrays."""
     got = jax.tree_util.tree_leaves(got)
     want = jax.tree_util.tree_leaves(want)
+    # zip() would truncate to the common prefix — a kernel regressing to
+    # return FEWER outputs than the oracle must fail, not green-pass on
+    # the surviving leaves
+    assert len(got) == len(want), \
+        f"{name}: {len(got)} outputs vs oracle {len(want)}"
     corrs = [_corr(g, w) for g, w in zip(got, want)]
     ok = all(np.isfinite(np.asarray(g)).all() for g in got) \
         and all(c >= MIN_CORR for c in corrs)
@@ -258,6 +263,13 @@ def main():
             x.astype(jnp.float32), mod.astype(jnp.float32), *ws)
         _check("dit_block_vjp_480", got, want, results, ms)
 
+    if not results:
+        # a typo'd/renamed --only must not green the gate with 0 kernels
+        print(json.dumps({"metric": "kernel_smoke", "kernels": 0,
+                          "failed": 0, "pass": False,
+                          "error": f"--only {args.only!r} matched no "
+                                   f"kernel section"}))
+        sys.exit(1)
     n_fail = sum(not r["ok"] for r in results.values())
     print(json.dumps({"metric": "kernel_smoke", "kernels": len(results),
                       "failed": n_fail, "pass": n_fail == 0,

@@ -83,9 +83,12 @@ def main():
     n_feat = {"t2s": 1, "motion": 10, "deadlift": 7}[args.track]
     buckets = (48, 96, 192) if args.track == "deadlift" else (96,)
     T = 96
-    rng = np.random.default_rng(0)
-
     def make_batch(key_i, n, T=T):
+        # a PER-CALL generator: a single stateful rng made the eval
+        # corpus (and noise floor) depend on how many training batches
+        # were drawn first, so runs with different --steps/--vae_steps
+        # were not comparable
+        rng = np.random.default_rng((7, key_i, T))
         tt = np.linspace(0, 1, T)
         cls = rng.integers(0, n_classes, n)
         freqs = 1.0 + cls * 0.5
@@ -128,6 +131,7 @@ def main():
     opt_v = warmup_cosine_adamw(1e-3, warmup_steps=100, cosine_period=600)
     sv = TrainState(vp, opt_v.init(vp), jnp.zeros((), jnp.int32))
     vstep = make_vae_train_step(vae, opt_v)
+    recon_err = dloss = jnp.asarray(float("nan"))   # --*_steps 0 runs
     for i in range(args.vae_steps):
         x, _, _ = make_batch(i, B, buckets[i % len(buckets)])
         sv, (vloss, recon_err) = vstep(sv, jnp.asarray(x))
@@ -170,13 +174,17 @@ def main():
                   "DTW": calculate_dtw, "ACD": calculate_acd,
                   "SD": calculate_sd, "KD": calculate_kd}
     per_bucket = {}
+    gen_by_bucket = {}
     for L in buckets:
         ntd_gt = to_ntd(evals[L][0])
         ntd_gen = to_ntd(sample_at(args.cfg_scale, L))
+        gen_by_bucket[L] = ntd_gen       # reused by the C-FID block
         row = {k: f(ntd_gt, ntd_gen) for k, f in metric_fns.items()}
-        # noise floor: what a random sampler would score
+        # noise floor: what a random sampler would score (fixed seed so
+        # the floor is identical across gate configurations)
         row["MSE_noise_floor"] = calculate_mse(
-            ntd_gt, rng.uniform(0, 1, ntd_gen.shape))
+            ntd_gt, np.random.default_rng((8, L)).uniform(
+                0, 1, ntd_gen.shape))
         per_bucket[L] = row
     res = {
         "vae_recon_error": float(recon_err),
@@ -192,7 +200,10 @@ def main():
     if args.eval_cfid:
         from t2ms_tpu.evaluate import calculate_fid, initialize_ts2vec
         ntd_gt = to_ntd(x_gt)
-        ntd_gen = to_ntd(sample_at(args.cfg_scale, T))
+        # the per-bucket loop already generated at (args.cfg_scale, T)
+        # with the identical key — re-sampling would recompile the whole
+        # scan program through the tunnel for a bit-identical array
+        ntd_gen = gen_by_bucket[T]
         m = initialize_ts2vec(ntd_gt.astype(np.float32), None)
         r1 = m.encode(ntd_gt.astype(np.float32),
                       encoding_window="full_series")

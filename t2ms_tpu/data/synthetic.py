@@ -47,7 +47,7 @@ def write_t2s_csv(path: str, n: int = 64, T: int = 24, emb_dim: int = 128,
             "TextEmbedding": emb_str,
         })
     import pandas as pd
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     pd.DataFrame(rows).to_csv(path, index=False)
     return path
 
