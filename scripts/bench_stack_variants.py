@@ -88,6 +88,14 @@ def main():
                 lambda *a, kw=kw: fused_dit_stack(*a, H, **kw))(*a),
                 np.float32)
             err = float(np.max(np.abs(got - base)))
+            # parity gate BEFORE timing: a numerically wrong variant must
+            # not enter the ranked results (bf16 stacks agree to ~1e-1
+            # absolute on unit-scale activations; real divergence is O(1))
+            if err > 0.25:
+                out[name] = {"error": f"parity maxerr={err:.2e}",
+                             "maxerr": err}
+                print(f"  {name}: PARITY FAIL maxerr={err:.2e}", flush=True)
+                continue
             chain = make_chain(kw)
             np.asarray(chain(x))                     # compile + warmup
             t0 = time.perf_counter()

@@ -58,11 +58,17 @@ def _check(name, got, want, results, t_ms):
 
 
 def _timed(fn, *args):
+    # sync EVERY leaf (tunnel sync is a host transfer): multi-program
+    # composites (e.g. the two-pass backward — dq from pass 1, dk/dv from
+    # pass 2) would otherwise stop the clock before the later pass runs
+    def sync(o):
+        for leaf in jax.tree_util.tree_leaves(o):
+            np.asarray(leaf)
     out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])     # tunnel sync
+    sync(out)
     t0 = time.perf_counter()
     out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    sync(out)
     return out, 1e3 * (time.perf_counter() - t0)
 
 
@@ -197,6 +203,41 @@ def main():
             q, k, v, g)
         _check(f"scaled_bwd_grouped_g{hg[0]}_bq{hg[1]}", got,
                bwd_oracle8(q, k, v, g), results, ms)
+
+    # --- fused LN+modulate custom-VJP: scaled-train + long-series ---
+    def _modln_case(name, seed, B, N, D):
+        assert DB.mod_ln_block_q(N, D, 2), "mod_ln envelope regressed"
+        ks = jax.random.split(jax.random.key(seed), 3)
+        x = jax.random.normal(ks[0], (B, N, D), dt)
+        mod2 = jax.random.normal(ks[1], (B, 2, D), dt) * 0.3
+        g = jax.random.normal(ks[2], (B, N, D), dt)
+
+        def oracle(x, m):
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+            y = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+            return (y * (1.0 + m[:, 1][:, None].astype(jnp.float32))
+                    + m[:, 0][:, None].astype(jnp.float32))
+
+        got, ms = _timed(jax.jit(lambda a, b: DB.mod_ln_diffable(a, b)),
+                         x, mod2)
+        _check(f"mod_ln_fwd_{name}", got, oracle(x, mod2), results, ms)
+
+        def fused_grads(x, m, g):
+            _, vjp = jax.vjp(lambda a, b: DB.mod_ln_diffable(a, b), x, m)
+            return vjp(g)
+
+        _, ovjp = jax.vjp(oracle, x.astype(jnp.float32),
+                          mod2.astype(jnp.float32))
+        got, ms = _timed(jax.jit(fused_grads), x, mod2, g)
+        _check(f"mod_ln_bwd_{name}", got, ovjp(g.astype(jnp.float32)),
+               results, ms)
+
+    if want_run("mod_ln_scaled"):
+        _modln_case("1024_d512", 14, 4, 1024, 512)
+    if want_run("mod_ln_long"):
+        _modln_case("4096_d128", 15, 2, 4096, 128)
 
     # --- fused DiT block + stack at the serving geometry ---
     if want_run("dit"):

@@ -79,8 +79,20 @@ def prefetch_to_device(batch_iter: Iterator, size: int = 2,
             yield item
     finally:
         # consumer abandoned (or finished): release the worker and the
-        # staged batches it holds
+        # staged batches it holds. One drain is not enough — the worker
+        # can complete a q.put into the just-drained queue inside its
+        # 0.5 s timeout window, pinning one staged device batch until GC;
+        # join it briefly, then drain whatever it managed to stage.
         stop.set()
+        for _ in range(2):
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=1.0)
+            if not t.is_alive():
+                break
         try:
             while True:
                 q.get_nowait()

@@ -133,6 +133,32 @@ def _modulate(x, shift, scale):
     return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
 
 
+def _make_mod_ln(block: "DiTBlock", n: int, d: int):
+    """Pick the block's LN+modulate implementation: the fused Pallas
+    custom-VJP kernel (ops.dit_block.mod_ln_diffable — one read + one
+    write of x per direction; the f32 LN stats/copies stay in VMEM) on
+    TPU when the geometry fits its envelope, the flax LayerNorm + eager
+    modulate otherwise. The block LNs are parameter-free (use_bias=False,
+    use_scale=False), so both paths share ONE param tree. attention_impl
+    != 'auto' opts out (same contract as every fused kernel: explicit
+    impls are oracle/A-B runs); T2MS_FUSED_MOD_LN=0 force-disables,
+    =1 force-enables in interpret mode on CPU (tests)."""
+    import os
+    flag = os.environ.get("T2MS_FUSED_MOD_LN", "")
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if (flag != "0" and block.attention_impl == "auto"
+            and (on_tpu or flag == "1")):
+        from t2ms_tpu.ops.dit_block import mod_ln_block_q, mod_ln_diffable
+        bpe = jnp.dtype(block.compute_dtype).itemsize
+        if mod_ln_block_q(n, d, bpe) or not on_tpu:
+            interp = not on_tpu
+            return lambda y, sh, sc: mod_ln_diffable(
+                y, jnp.stack([sh, sc], axis=1), 1e-6, 0, interp)
+    ln = lambda y: nn.LayerNorm(use_bias=False, use_scale=False,
+                                epsilon=1e-6, dtype=block.compute_dtype)(y)
+    return lambda y, sh, sc: _modulate(ln(y), sh, sc)
+
+
 class DiTBlock(nn.Module):
     """adaLN-zero transformer block (transformer.py:94-124)."""
     d_model: int
@@ -149,15 +175,14 @@ class DiTBlock(nn.Module):
                        dtype=self.compute_dtype,
                        name="adaLN_modulation")(nn.silu(c))
         sh_a, sc_a, g_a, sh_m, sc_m, g_m = jnp.split(mod, 6, axis=-1)
-        ln = lambda y: nn.LayerNorm(use_bias=False, use_scale=False,
-                                    epsilon=1e-6, dtype=self.compute_dtype)(y)
+        modln = _make_mod_ln(self, x.shape[1], x.shape[2])
         x = x + g_a[:, None, :] * _Attention(
             self.d_model, self.num_heads, self.compute_dtype,
             self.attention_impl,
-            name="attn")(_modulate(ln(x), sh_a, sc_a))
+            name="attn")(modln(x, sh_a, sc_a))
         x = x + g_m[:, None, :] * _Mlp(
             self.d_model, int(self.d_model * self.mlp_ratio),
-            self.compute_dtype, name="mlp")(_modulate(ln(x), sh_m, sc_m))
+            self.compute_dtype, name="mlp")(modln(x, sh_m, sc_m))
         return x
 
 

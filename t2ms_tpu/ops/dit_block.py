@@ -37,7 +37,8 @@ from t2ms_tpu.ops.attention import attn_heads_folded, attn_heads_natural
 
 __all__ = ["fused_dit_block", "fused_dit_stack", "dit_block_reference",
            "fused_dit_block_diffable", "block_vjp_supported",
-           "fused_dit_block_split", "split_block_q"]
+           "fused_dit_block_split", "split_block_q",
+           "mod_ln_diffable", "mod_ln_block_q"]
 
 
 def _ln(x, eps):
@@ -523,6 +524,127 @@ def fused_dit_block_split(x: jnp.ndarray, mod: jnp.ndarray, wqkv, bqkv,
         out_specs=qblk,
         interpret=interpret,
     )(x, mod, w(wfc1), w(bfc1)[None], w(wfc2), w(bfc2)[None])
+
+
+def _mod_ln_fwd_kernel(x_ref, mod_ref, o_ref, *, eps: float):
+    o_ref[0] = _mod_ln(x_ref[0], mod_ref[0, 0][None, :],
+                       mod_ref[0, 1][None, :], eps)
+
+
+def _mod_ln_bwd_kernel(x_ref, mod_ref, dy_ref, dx_ref, dmod_ref, acc, *,
+                       eps: float):
+    """VJP of LN+modulate for one q row-block: ``jax.vjp`` over the shared
+    ``_mod_ln`` runs inside the kernel (the f32 LN internals never touch
+    HBM); dshift/dscale accumulate across the q-block grid axis in f32
+    scratch and flush into the per-sample dmod output at the last block."""
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+    out, vjp = jax.vjp(
+        lambda xb, sh, sc: _mod_ln(xb, sh, sc, eps),
+        x_ref[0], mod_ref[0, 0][None, :], mod_ref[0, 1][None, :])
+    dx, dsh, dsc = vjp(dy_ref[0].astype(out.dtype))
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _zero():
+        acc[...] = jnp.zeros_like(acc)
+
+    acc[0, :] += dsh[0].astype(jnp.float32)
+    acc[1, :] += dsc[0].astype(jnp.float32)
+
+    @pl.when(i == ni - 1)
+    def _flush():
+        dmod_ref[0] = acc[...].astype(dmod_ref.dtype)
+
+
+def mod_ln_block_q(n: int, d: int, bpe: int = 2) -> int:
+    """q row-block for the fused LN+modulate custom-VJP kernels (0 =
+    geometry unsupported -> callers keep the XLA LayerNorm path).
+
+    Live set per row (the bwd kernel is the fat one): x/dy/dx blocks
+    (double-buffered grid refs count twice — measured Mosaic rule, see
+    _bwd_block_q) plus ~6 f32 copies for the LN vjp internals (xf,
+    centered, normalized, dyf, dxhat, dxf) ≈ ``6*bpe + 24`` bytes/elem;
+    budgeted at 11 MB (~30% headroom under the 16 MB scoped limit).
+    LN is per-token, so any row-blocking is exact."""
+    if n % 8 != 0 or n < 8 or d % 128 != 0:
+        return 0
+    per_row = d * (3 * 2 * bpe + 24)
+    for bq in (n, 1024, 512, 256, 128):
+        if bq <= n and n % bq == 0 and bq * per_row < 11 * 2 ** 20:
+            return bq
+    return 0
+
+
+def _mod_ln_call(x, mod2, eps, block_q, interpret):
+    B, N, D = x.shape
+    bq = block_q or mod_ln_block_q(N, D, jnp.dtype(x.dtype).itemsize)
+    if not bq:
+        if interpret:          # CPU tests exercise the kernel math at
+            bq = N             # tiny (lane-unaligned) shapes
+        else:
+            raise ValueError(f"mod_ln kernel unsupported at N={N}, D={D}")
+    if N % bq:
+        raise ValueError(f"block_q {bq} must divide N={N}")
+    return pl.pallas_call(
+        functools.partial(_mod_ln_fwd_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
+        grid=(B, N // bq),
+        in_specs=[pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0)),
+                  pl.BlockSpec((1, 2, D), lambda b, i: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0)),
+        interpret=interpret,
+    )(x, mod2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def mod_ln_diffable(x, mod2, eps=1e-6, block_q=0, interpret=False):
+    """Fused LayerNorm (no scale/bias, like the DiT block LNs) + adaLN
+    modulate with Pallas forward AND backward — x (B, N, D), mod2
+    (B, 2, D) = [shift, scale] -> (B, N, D).
+
+    Why: the round-3 scaled-train profile attributed ~21.5% of the
+    232 ms step (d_model=512, B=64 bf16) to f32 LayerNorm
+    convert+reduce fusions — XLA materializes f32 copies of the
+    (B, N, D) activation around every LN and its VJP. Here each
+    direction is one Pallas program per (batch, q-block): x is read
+    once and written once in the compute dtype; all f32 stats/copies
+    live in VMEM. Numerics recipe is the shared ``_mod_ln`` (identical
+    to the serving kernels); LN is token-local so q-blocking is exact.
+    Reference semantics: transformer.py:7-8,94-124 (modulate +
+    norm1/norm2 without elementwise affine)."""
+    return _mod_ln_call(x, mod2, eps, block_q, interpret)
+
+
+def _mod_ln_diff_fwd(x, mod2, eps, block_q, interpret):
+    return _mod_ln_call(x, mod2, eps, block_q, interpret), (x, mod2)
+
+
+def _mod_ln_diff_bwd(eps, block_q, interpret, res, dy):
+    x, mod2 = res
+    B, N, D = x.shape
+    bq = block_q or mod_ln_block_q(N, D, jnp.dtype(x.dtype).itemsize)
+    if not bq:
+        if interpret:
+            bq = N
+        else:
+            raise ValueError(f"mod_ln kernel unsupported at N={N}, D={D}")
+    blk = pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0))
+    mblk = pl.BlockSpec((1, 2, D), lambda b, i: (b, 0, 0))
+    dx, dmod = pl.pallas_call(
+        functools.partial(_mod_ln_bwd_kernel, eps=eps),
+        out_shape=[jax.ShapeDtypeStruct((B, N, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, 2, D), mod2.dtype)],
+        grid=(B, N // bq),
+        in_specs=[blk, mblk, blk],
+        out_specs=[blk, mblk],
+        scratch_shapes=[pltpu.VMEM((2, D), jnp.float32)],
+        interpret=interpret,
+    )(x, mod2, dy)
+    return dx, dmod
+
+
+mod_ln_diffable.defvjp(_mod_ln_diff_fwd, _mod_ln_diff_bwd)
 
 
 def dit_block_reference(x, mod, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2,
