@@ -32,7 +32,13 @@ def _load_baseline():
     return None
 
 
-def main():
+def _build_and_time():
+    """Build the flagship stack and measure sustained sampling throughput.
+    EVERYTHING that touches the device lives in here so the retry loop in
+    main() wraps the first device dispatch too (the r03 outage surfaced
+    at model-init time, before any timing code ran)."""
+    import numpy as np
+
     from t2ms_tpu.models.denoisers import DiT
     from t2ms_tpu.models.vae import LAVAE
     from t2ms_tpu.sampling import make_cfg_sampler
@@ -57,32 +63,60 @@ def main():
     sampler = make_cfg_sampler(dit, vae, "flowmatching",
                                total_step=total_step, cfg_scale=7.0,
                                out_length=out_len)
+    # compile + warmup; NOTE: sync via host transfer —
+    # block_until_ready() does not actually block through the axon
+    # TPU tunnel.
+    out = sampler(d_params, vae_params, jax.random.key(4), x, emb)
+    np.asarray(out.series)
+    # Sustained throughput: dispatch all runs, sync ONCE at the end
+    # (the device serializes them; per-run np.asarray would add a
+    # tunnel round-trip per run — that latency belongs in the p50
+    # latency metric, not in throughput).
+    runs = 4
+    t0 = time.perf_counter()
+    outs = [sampler(d_params, vae_params, jax.random.key(5 + i), x,
+                    emb) for i in range(runs)]
+    for o in outs:
+        np.asarray(o.series)
+    series_per_sec = B * runs / (time.perf_counter() - t0)
+    return series_per_sec, (dit, vae, x, emb, vae_params, d_params, sampler)
+
+
+def main():
+    # Spaced retries ride out a transient tunnel hiccup; a persistent
+    # outage emits a STRUCTURED error line so the driver can tell a dead
+    # tunnel from a perf regression (VERDICT r3: BENCH_r03 was rc=1 with
+    # an unparseable traceback tail).
+    series_per_sec = None
+    last_err = None
+    for attempt, pause in enumerate((0, 60, 180)):
+        if pause:
+            time.sleep(pause)
+        try:
+            series_per_sec, built = _build_and_time()
+            break
+        except Exception as e:
+            last_err = e
+            print(f"# bench attempt {attempt + 1}/3 failed: {e}",
+                  flush=True)
+    if series_per_sec is None:
+        msg = str(last_err)
+        kind = ("tpu_unavailable"
+                if ("UNAVAILABLE" in msg or "Unable to initialize" in msg)
+                else "bench_failed")
+        print(json.dumps({
+            "metric": "cfg_sampling_throughput_len96",
+            "value": None,
+            "unit": "series/sec/chip",
+            "vs_baseline": None,
+            "error": kind,
+            "detail": msg[:200],
+        }))
+        raise SystemExit(1)
+
+    dit, vae, x, emb, vae_params, d_params, sampler = built
+    out_len = x.shape[1]
     import numpy as np
-
-    def timed_runs():
-        # compile + warmup; NOTE: sync via host transfer —
-        # block_until_ready() does not actually block through the axon
-        # TPU tunnel.
-        out = sampler(d_params, vae_params, jax.random.key(4), x, emb)
-        np.asarray(out.series)
-        # Sustained throughput: dispatch all runs, sync ONCE at the end
-        # (the device serializes them; per-run np.asarray would add a
-        # tunnel round-trip per run — that latency belongs in the p50
-        # latency metric, not in throughput).
-        runs = 4
-        t0 = time.perf_counter()
-        outs = [sampler(d_params, vae_params, jax.random.key(5 + i), x,
-                        emb) for i in range(runs)]
-        for o in outs:
-            np.asarray(o.series)
-        return B * runs / (time.perf_counter() - t0)
-
-    try:
-        series_per_sec = timed_runs()
-    except Exception as e:  # transient tunnel hiccup: retry once
-        print(f"# bench retry after: {e}", flush=True)
-        time.sleep(30)
-        series_per_sec = timed_runs()
 
     # secondary metrics in the same line (driver format keeps the four
     # required keys; extras ride along): train throughput + p50 latency
@@ -111,6 +145,24 @@ def main():
             st, loss = tstep(st, vae_params, jax.random.key(10 + i), xt, et)
         np.asarray(loss)
         extra["train_steps_per_sec_b1024"] = round(
+            n_tr / (time.perf_counter() - t0), 3)
+
+        # latent-cache path (VERDICT r3 #4): the frozen encoder is out of
+        # the hot loop — one-shot encode, step consumes latents directly
+        zt, _ = vae.apply(vae_params, xt, method=vae.encode)
+        tstep_pre = make_denoiser_train_step(dit, vae, opt, "flowmatching",
+                                             100, donate=False,
+                                             precoded=True)
+        stp = TrainState(d_params, opt.init(d_params),
+                         jnp.zeros((), jnp.int32))
+        stp, loss = tstep_pre(stp, vae_params, jax.random.key(9), zt, et)
+        np.asarray(loss)
+        t0 = time.perf_counter()
+        for i in range(n_tr):
+            stp, loss = tstep_pre(stp, vae_params, jax.random.key(10 + i),
+                                  zt, et)
+        np.asarray(loss)
+        extra["train_steps_per_sec_b1024_precoded"] = round(
             n_tr / (time.perf_counter() - t0), 3)
 
         x1 = x[:1]

@@ -39,6 +39,11 @@ def get_args(argv=None):
     p.add_argument("--general_seed", type=int, default=2025)
     p.add_argument("--usepretrainedvae", default=True)
     p.add_argument("--total_step", type=int, default=100)
+    p.add_argument("--latent_cache", type=lambda s: s not in ("0", "False"),
+                   default=True,
+                   help="encode each sample through the frozen conv VAE "
+                        "ONCE at startup and train on cached latents "
+                        "(numerically identical — see cli/train.py)")
     p.add_argument("--config", type=str, default="config.yaml")
     p.add_argument("--hard_stop_epoch", type=int, default=4000)
     p.add_argument("--max_ckpts_keep", type=int, default=0,
@@ -93,12 +98,22 @@ def train(args):
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     print(f"Total learnable parameters: {n_params}")
 
+    precoded = False
+    if getattr(args, "latent_cache", True):
+        from t2ms_tpu.training.trainer import precompute_latent_buckets
+        cached = precompute_latent_buckets(vae, vae_params, train_batcher)
+        if cached is not None:
+            train_batcher, precoded = cached, True
+            print("Latent cache: dataset encoded once through the frozen "
+                  "VAE; hot loop trains on latents")
+
     opt = onecycle_adamw(total_steps=max(1, len(train_batcher))
                          * args.epochs)
     state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
     step_fn = make_denoiser_train_step(denoiser, vae, opt, args.backbone,
                                        args.total_step,
-                                       accum_steps=plan.accum_steps)
+                                       accum_steps=plan.accum_steps,
+                                       precoded=precoded)
 
     loss_list = []
     start_epoch = 0

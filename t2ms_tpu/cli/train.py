@@ -49,6 +49,14 @@ def get_args(argv=None):
                         "always frozen (the reference CLI cannot "
                         "actually unfreeze it either — its bool flag "
                         "parses any string as True)")
+    p.add_argument("--latent_cache", type=lambda s: s not in ("0", "False"),
+                   default=True,
+                   help="encode each sample through the frozen VAE ONCE "
+                        "at startup and train on cached latents — "
+                        "numerically identical to the reference's "
+                        "per-step encode (train.py:73; the encoder is "
+                        "frozen+deterministic) without its overhead. "
+                        "0/False keeps the in-step encode.")
     p.add_argument("--total_step", type=int, default=100)
     p.add_argument("--backbone", type=str, default="flowmatching")
     p.add_argument("--denoiser", type=str, default="DiT")
@@ -106,11 +114,24 @@ def train(args):
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     print(f"Total learnable parameters: {n_params}")
 
+    precoded = False
+    if getattr(args, "latent_cache", True):
+        from t2ms_tpu.training.trainer import precompute_latent_buckets
+        cached = precompute_latent_buckets(vae, vae_params, batcher)
+        if cached is not None:
+            batcher, precoded = cached, True
+            print("Latent cache: dataset encoded once through the frozen "
+                  "VAE; hot loop trains on latents")
+        else:
+            print("Latent cache skipped (store would exceed the host-RAM "
+                  "budget); keeping the in-step encode")
+
     opt = onecycle_adamw(total_steps=len(batcher) * args.epochs)
     state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
     step_fn = make_denoiser_train_step(denoiser, vae, opt, args.backbone,
                                        args.total_step,
-                                       accum_steps=plan.accum_steps)
+                                       accum_steps=plan.accum_steps,
+                                       precoded=precoded)
 
     loss_list = []
     start_epoch = 0

@@ -32,7 +32,7 @@ from t2ms_tpu.models.backbones import rectified_flow as rf
 from t2ms_tpu.utils.prng import named_fold
 
 __all__ = ["TrainState", "make_denoiser_train_step", "make_vae_train_step",
-           "encode_with_vae"]
+           "encode_with_vae", "precompute_latent_buckets"]
 
 
 class TrainState(NamedTuple):
@@ -74,6 +74,7 @@ def make_denoiser_train_step(
     donate: bool = True,
     nan_guard: bool = False,
     accum_steps: int = 1,
+    precoded: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -86,6 +87,11 @@ def make_denoiser_train_step(
     gradient accumulation — required for the reference's T2S default batch
     9216, whose attention score tensor alone (9216x4x480x480) exceeds one
     chip's HBM.
+    ``precoded`` means x is ALREADY the frozen-VAE latent (see
+    precompute_latent_buckets): the encoder is frozen and deterministic
+    (reference train.py:30,73 — model.encoder under requires_grad=False),
+    so encoding each sample once per dataset instead of once per step is
+    numerically identical and removes pure overhead from the hot loop.
     """
     from t2ms_tpu.config import env_flag
     nan_guard = nan_guard or env_flag("T2MS_NAN_CHECK")
@@ -96,7 +102,10 @@ def make_denoiser_train_step(
     denoiser_forward = _training_forward(denoiser)
 
     def loss_fn(params, vae_params, key, cfg_key, x, text_emb):
-        z, _ = encode_with_vae(vae_model, vae_params, x)
+        if precoded:
+            z = jax.lax.stop_gradient(x)
+        else:
+            z, _ = encode_with_vae(vae_model, vae_params, x)
         if backbone == "flowmatching":
             t = rf.sample_t(named_fold(key, "t"), z.shape[0], total_step)
             x_t, x_0 = rf.create_flow(named_fold(key, "noise"), z, t)
@@ -179,6 +188,49 @@ def make_denoiser_train_step(
         return TrainState(params, opt_state, state.step + 1), loss
 
     return step_fn
+
+
+def precompute_latent_buckets(vae_model, vae_params, batcher,
+                              chunk: int = 4096,
+                              max_bytes: int = 4 * 2 ** 30):
+    """One-shot frozen-VAE encode of every bucket's series: returns a new
+    BucketBatcher whose ``x`` columns are the (N, C, latent_len) latents,
+    to be consumed by a ``precoded=True`` train step.
+
+    The reference re-encodes the batch through the frozen encoder every
+    step (train.py:73 ``model.encoder(x_1)``); the encoder is
+    deterministic and per-sample (convs over time, no cross-batch state),
+    so encoding the dataset once is numerically identical — at 20000
+    epochs over the same rows the per-step encode is pure overhead.
+    Fixed-shape chunks keep it to one compiled program per bucket (the
+    tail is wrap-padded then trimmed). Falls back to the caller keeping
+    the in-step encode (returns None) when the f32 latent store would
+    exceed ``max_bytes`` of host RAM."""
+    import numpy as np
+
+    from t2ms_tpu.data.loaders import BucketBatcher
+
+    enc = jax.jit(lambda p, xb: vae_model.apply(
+        p, xb, method=vae_model.encode)[0])
+    probe = next(iter(batcher.buckets.values()))["x"]
+    z0 = enc(vae_params, jnp.asarray(probe[:1]))
+    per_row = int(np.prod(z0.shape[1:])) * 4
+    total = sum(d["x"].shape[0] for d in batcher.buckets.values()) * per_row
+    if total > max_bytes:
+        return None
+    new_buckets = {}
+    for length, data in batcher.buckets.items():
+        x = np.asarray(data["x"])
+        n = x.shape[0]
+        c = min(chunk, n)
+        n_pad = -(-n // c) * c
+        xp = x[np.arange(n_pad) % n]          # wrap-pad to a chunk multiple
+        zs = [np.asarray(enc(vae_params, jnp.asarray(xp[s:s + c])))
+              for s in range(0, n_pad, c)]
+        new_buckets[length] = dict(data, x=np.concatenate(zs)[:n])
+    return BucketBatcher(new_buckets, batcher.batch_size, batcher.seed,
+                         batcher.drop_last, batcher.process_index,
+                         batcher.process_count)
 
 
 def make_vae_train_step(vae_model, optimizer: optax.GradientTransformation,
