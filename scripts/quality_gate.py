@@ -21,6 +21,20 @@ import numpy as np
 import optax
 
 
+def build_bucket_schedule(buckets, ratios_str):
+    """Repeating interleave pattern from per-bucket step ratios, e.g.
+    (48,96,192) with '1,1,2' -> [48,96,192,192]. Deterministic, keeps the
+    buckets mixed, and reallocates (never adds to) the total step budget.
+    Empty ratios = even round-robin (the pre-r4 behavior)."""
+    if not ratios_str:
+        return list(buckets)
+    ratios = [int(r) for r in ratios_str.split(",")]
+    if len(ratios) != len(buckets) or min(ratios) < 1:
+        raise ValueError(f"need {len(buckets)} positive ratios, "
+                         f"got {ratios_str!r}")
+    return [L for L, r in zip(buckets, ratios) for _ in range(r)]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1500)
@@ -57,6 +71,13 @@ def main():
                          "(MSE + C-FID) from the SAME trained model — "
                          "mirrors the reference's per-dataset op-point "
                          "sweeps; requires --eval_cfid")
+    ap.add_argument("--bucket_steps", default="",
+                    help="per-bucket step-allocation ratios for multi-"
+                         "bucket tracks, e.g. '1,1,2' gives the longest "
+                         "bucket half the denoiser steps (VERDICT r3 #6 "
+                         "study: deadlift needed 2.5x benchpress's budget "
+                         "under the default even 1,1,1 round-robin). "
+                         "Applies to the VAE pretrain loop too.")
     args = ap.parse_args()
     if args.cfg_sweep and not args.eval_cfid:
         ap.error("--cfg_sweep is scored inside the C-FID evaluation "
@@ -108,6 +129,11 @@ def main():
         emb[np.arange(n), cls] = 1.0
         return x.astype(np.float32), emb, cls
 
+    try:
+        schedule = build_bucket_schedule(buckets, args.bucket_steps)
+    except ValueError as e:
+        ap.error(f"--bucket_steps: {e}")
+
     latent_len = args.latent_grid or (
         64 if multivariate else
         (6 if args.denoiser == "MLP" else 30))
@@ -133,7 +159,7 @@ def main():
     vstep = make_vae_train_step(vae, opt_v)
     recon_err = dloss = jnp.asarray(float("nan"))   # --*_steps 0 runs
     for i in range(args.vae_steps):
-        x, _, _ = make_batch(i, B, buckets[i % len(buckets)])
+        x, _, _ = make_batch(i, B, schedule[i % len(schedule)])
         sv, (vloss, recon_err) = vstep(sv, jnp.asarray(x))
     vp = sv.params
     print(f"VAE recon error after {args.vae_steps} steps: "
@@ -146,7 +172,7 @@ def main():
     sd = TrainState(dp, opt_d.init(dp), jnp.zeros((), jnp.int32))
     dstep = make_denoiser_train_step(dit, vae, opt_d, args.backbone, 100)
     for i in range(args.steps):
-        x, e, _ = make_batch(1000 + i, B, buckets[i % len(buckets)])
+        x, e, _ = make_batch(1000 + i, B, schedule[i % len(schedule)])
         sd, dloss = dstep(sd, vp, jax.random.key(i), jnp.asarray(x),
                           jnp.asarray(e))
         if i % 300 == 0:
