@@ -21,3 +21,12 @@ Layer map (mirrors reference SURVEY.md §1, rebuilt TPU-first):
 """
 
 __version__ = "0.1.0"
+
+# Compile-once-per-machine: persistent XLA compilation cache (see
+# config.enable_persistent_compilation_cache — opt out with
+# T2MS_NO_COMPILE_CACHE=1). Enabled at import so every entry point (CLIs,
+# bench, gate, tests) shares it without per-script wiring.
+from t2ms_tpu.config import enable_persistent_compilation_cache as _epcc
+
+_epcc()
+del _epcc

@@ -20,7 +20,7 @@ import yaml
 
 __all__ = ["get_cfg", "denoiser_ckpt_dir", "generation_dir",
            "t2s_pretrained_dir", "motion_pretrained_dir", "FrameworkConfig",
-           "env_flag"]
+           "env_flag", "enable_persistent_compilation_cache"]
 
 
 def env_flag(name: str) -> bool:
@@ -28,6 +28,39 @@ def env_flag(name: str) -> bool:
     a bare truthiness check would read T2MS_NAN_CHECK=0 as enabled."""
     return os.environ.get(name, "").strip().lower() not in (
         "", "0", "false", "no", "off")
+
+
+def enable_persistent_compilation_cache() -> Optional[str]:
+    """Turn on JAX's persistent XLA compilation cache (compile each
+    program once per MACHINE, not once per process).
+
+    Through the axon tunnel a cold compile of the accum-scan train
+    program costs ~5-15 min (CLAUDE.md); the reference pays torch's
+    eager warmup instead. With the cache, every re-run — CLI restarts,
+    resumed sweeps, repeated bench/gate invocations — loads the
+    compiled executable from disk in seconds. The cache key includes
+    the HLO, compile options and backend version, so it is safe across
+    code changes (changed programs miss and recompile).
+
+    Called once at package import. Opt out with T2MS_NO_COMPILE_CACHE=1;
+    relocate with T2MS_COMPILE_CACHE_DIR. Returns the cache dir or None
+    if disabled/unavailable (failure is never fatal — the cache is an
+    optimization, not a dependency)."""
+    if env_flag("T2MS_NO_COMPILE_CACHE"):
+        return None
+    path = os.environ.get(
+        "T2MS_COMPILE_CACHE_DIR",
+        os.path.expanduser("~/.cache/t2ms_tpu/xla_cache"))
+    try:
+        import jax
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # default threshold (1 s) skips the tiny per-bucket resize
+        # programs; anything slower than 2 s is worth a disk entry
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # noqa: BLE001 - old jax / RO filesystem / etc.
+        return None
+    return path
 
 
 def get_cfg(args: argparse.Namespace) -> argparse.Namespace:
