@@ -89,3 +89,23 @@ def test_latent_cache_respects_ram_budget():
     batcher = BucketBatcher(buckets, batch_size=2,
                             process_index=0, process_count=1)
     assert precompute_latent_buckets(vae, vp, batcher, max_bytes=100) is None
+
+
+def test_precoded_composes_with_grad_accum():
+    """precoded=True must give the same loss as the in-step encode under
+    gradient accumulation too (microbatch splitting happens on the latent
+    batch axis instead of the raw-series one)."""
+    vae, dit, x, emb, vp, dp, opt = _setup(B=8)
+    z, _ = vae.apply(vp, x, method=vae.encode)
+    st_a = TrainState(dp, opt.init(dp), jnp.zeros((), jnp.int32))
+    st_b = TrainState(dp, opt.init(dp), jnp.zeros((), jnp.int32))
+    step = make_denoiser_train_step(dit, vae, opt, "flowmatching", 10,
+                                    donate=False, accum_steps=2)
+    step_pre = make_denoiser_train_step(dit, vae, opt, "flowmatching", 10,
+                                        donate=False, accum_steps=2,
+                                        precoded=True)
+    for i in range(2):
+        k = jax.random.key(20 + i)
+        st_a, loss_a = step(st_a, vp, k, x, emb)
+        st_b, loss_b = step_pre(st_b, vp, k, z, emb)
+        np.testing.assert_allclose(float(loss_a), float(loss_b), atol=1e-6)
