@@ -40,6 +40,10 @@ def get_args(argv=None):
                    default="./results/denoiser_results")
     p.add_argument("--cfg_scale", type=float, default=3)
     p.add_argument("--total_step", type=int, default=100)
+    p.add_argument("--solver", type=str, default="euler",
+                   choices=["euler", "heun", "midpoint"],
+                   help="flow-ODE integrator; euler = reference parity, "
+                        "heun/midpoint are order-2 (see cli.infer)")
     p.add_argument("--checkpoint_id", type=int, default=2500)
     p.add_argument("--dataset_name", type=str,
                    choices=["deadlift", "benchpress"], default="benchpress")
@@ -153,7 +157,8 @@ def infer(args, run_dir: str, seed_offset: int = 0, ctx=None):
         if length not in samplers:
             samplers[length] = make_cfg_sampler(
                 denoiser, vae, args.backbone, args.total_step,
-                args.cfg_scale, out_length=length)
+                args.cfg_scale, out_length=length,
+                solver=getattr(args, "solver", "euler"))
         emb = (embedder.embed(batch.texts) if embedder is not None
                else batch.embedding)
         out = samplers[length](d_params, vae_params, step_key(key, b),

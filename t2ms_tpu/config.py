@@ -58,6 +58,12 @@ def enable_persistent_compilation_cache() -> Optional[str]:
         # default threshold (1 s) skips the tiny per-bucket resize
         # programs; anything slower than 2 s is worth a disk entry
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # cache the jax-level serialized executables only: XLA:CPU's AOT
+        # entries embed host machine features and reload with
+        # "could lead to SIGILL" feature-mismatch errors even on the
+        # SAME machine (observed here: +prefer-no-scatter pseudo-features
+        # in the compile set but not the host set)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:  # noqa: BLE001 - old jax / RO filesystem / etc.
         return None
     return path

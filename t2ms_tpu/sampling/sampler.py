@@ -92,6 +92,7 @@ def make_cfg_sampler(
     cfg_scale: float = 7.0,
     out_length: int = 96,
     collect_trajectory: bool = False,
+    solver: str = "euler",
 ) -> Callable:
     """Build the jitted sampler.
 
@@ -99,9 +100,21 @@ def make_cfg_sampler(
     -> SamplerOutput. ``x_1`` is the conditioning ground-truth batch (used
     only for the latent SHAPE and the encoded-latent diagnostic, mirroring
     infer.py:73-75).
+
+    ``solver`` selects the flow-ODE integrator (flowmatching only; the
+    reference has Euler alone, infer.py:84): 'euler' (1 model eval/step,
+    the reference default and exact parity), or the 2nd-order 'heun' /
+    'midpoint' (2 evals/step) — order-2 convergence lets total_step drop
+    ~4x at matched endpoint error, i.e. ~2x fewer model evals for the
+    same quality (DDIM/solver-family acceleration, arXiv 2010.02502).
     """
     if backbone not in ("flowmatching", "ddpm"):
         raise ValueError(f"Unsupported backbone type: {backbone}")
+    if solver not in ("euler", "heun", "midpoint"):
+        raise ValueError(f"Unsupported solver: {solver}")
+    if solver != "euler" and backbone != "flowmatching":
+        raise ValueError("higher-order solvers integrate the flow ODE; "
+                         "ddpm sampling is ancestral (use euler)")
     sched = (ddpm_lib.make_schedule(total_step)
              if backbone == "ddpm" else None)
     forward = _serving_forward(denoiser)
@@ -112,11 +125,30 @@ def make_cfg_sampler(
         x_t0 = jax.random.normal(key, z_enc.shape, dtype=z_enc.dtype)
         B = x_t0.shape[0]
 
-        def flow_step(x_t, j):
-            t = jnp.full((B,), j / total_step, dtype=x_t0.dtype)
-            pred = _fused_cfg_forward(denoiser, params, x_t, t, text_emb,
+        dt = 1.0 / total_step
+
+        def vel(x_t, t_scalar):
+            t = jnp.full((B,), t_scalar, dtype=x_t0.dtype)
+            return _fused_cfg_forward(denoiser, params, x_t, t, text_emb,
                                       cfg_scale, forward)
-            x_next = rf.euler(x_t, pred, 1.0 / total_step)
+
+        def flow_step(x_t, j):
+            x_next = rf.euler(x_t, vel(x_t, j / total_step), dt)
+            return x_next, (x_next if collect_trajectory else None)
+
+        def heun_step(x_t, j):
+            # explicit trapezoid: v at both interval ends, order-2
+            t0 = j / total_step
+            v1 = vel(x_t, t0)
+            v2 = vel(rf.euler(x_t, v1, dt), t0 + dt)
+            x_next = x_t + (0.5 * dt) * (v1 + v2)
+            return x_next, (x_next if collect_trajectory else None)
+
+        def midpoint_step(x_t, j):
+            t0 = j / total_step
+            v1 = vel(x_t, t0)
+            v2 = vel(rf.euler(x_t, v1, 0.5 * dt), t0 + 0.5 * dt)
+            x_next = x_t + dt * v2
             return x_next, (x_next if collect_trajectory else None)
 
         def ddpm_step(x_t, j):
@@ -127,7 +159,11 @@ def make_cfg_sampler(
             x_next = ddpm_lib.p_sample(sched, step_key, x_t, pred, t)
             return x_next, (x_next if collect_trajectory else None)
 
-        body = flow_step if backbone == "flowmatching" else ddpm_step
+        if backbone == "ddpm":
+            body = ddpm_step
+        else:
+            body = {"euler": flow_step, "heun": heun_step,
+                    "midpoint": midpoint_step}[solver]
         x_t, traj = jax.lax.scan(body, x_t0, jnp.arange(total_step))
         series, _ = vae_model.apply(vae_params, x_t, out_length,
                                     method=vae_model.decode)
