@@ -16,7 +16,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["DDPMSchedule", "make_schedule", "q_sample", "p_sample", "loss"]
+__all__ = ["DDPMSchedule", "make_schedule", "q_sample", "p_sample",
+           "p_sample_mean_var", "loss"]
 
 
 class DDPMSchedule(NamedTuple):
@@ -49,15 +50,25 @@ def q_sample(sched: DDPMSchedule, x0: jnp.ndarray, t: jnp.ndarray,
     return mean + jnp.sqrt(var) * eps, eps
 
 
-def p_sample(sched: DDPMSchedule, key: jax.Array, xt: jnp.ndarray,
-             eps_pred: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-    """One ancestral reverse step (reference DDPM.py:28-36). Noise is always
-    added, including at t=0, matching the reference exactly."""
+def p_sample_mean_var(sched: DDPMSchedule, xt: jnp.ndarray,
+                      eps_pred: jnp.ndarray, t: jnp.ndarray):
+    """Posterior mean and variance of one ancestral reverse step
+    (reference DDPM.py:28-36). Split out so callers that need their own
+    noise source (per-sample keys in the serving engine) share the exact
+    step math with ``p_sample``."""
     a_bar = _gather(sched.alpha_bar, t, xt.ndim)
     a = _gather(sched.alpha, t, xt.ndim)
     eps_coef = (1.0 - a) / jnp.sqrt(1.0 - a_bar)
     mean = (xt - eps_coef * eps_pred) / jnp.sqrt(a)
     var = _gather(sched.beta, t, xt.ndim)
+    return mean, var
+
+
+def p_sample(sched: DDPMSchedule, key: jax.Array, xt: jnp.ndarray,
+             eps_pred: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """One ancestral reverse step (reference DDPM.py:28-36). Noise is always
+    added, including at t=0, matching the reference exactly."""
+    mean, var = p_sample_mean_var(sched, xt, eps_pred, t)
     eps = jax.random.normal(key, xt.shape, dtype=xt.dtype)
     return mean + jnp.sqrt(var) * eps
 
