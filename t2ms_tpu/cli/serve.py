@@ -187,12 +187,17 @@ def main(argv=None):
     args = get_args(argv)
     vae, vae_params, denoiser, d_params, buckets = load_bundle(args)
     tiers = [int(t) for t in str(args.tiers).split(",")]
+    from t2ms_tpu.training.scaling import setup_scaling
+    plan = setup_scaling(args, batch_size=max(tiers), for_training=False)
+    if plan.n_data > 1:
+        print(f"Serving plan: {plan.describe()}")
     engine = ServingEngine(
         denoiser, vae, d_params, vae_params, backbone=args.backbone,
         total_step=args.total_step, solver=args.solver,
         out_lengths=buckets, batch_tiers=tiers,
         max_wait_ms=args.max_wait_ms, default_cfg_scale=args.cfg_scale,
-        text_emb_dim=args.text_emb_dim)
+        text_emb_dim=args.text_emb_dim,
+        scaling_plan=plan if plan.n_data > 1 else None)
     if args.warmup:
         print(f"Warming up {len(buckets) * len(tiers)} programs...")
         engine.warmup()

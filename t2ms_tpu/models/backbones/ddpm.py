@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["DDPMSchedule", "make_schedule", "q_sample", "p_sample",
-           "p_sample_mean_var", "loss"]
+           "p_sample_mean_var", "ddim_step", "ddim_timesteps", "loss"]
 
 
 class DDPMSchedule(NamedTuple):
@@ -71,6 +71,38 @@ def p_sample(sched: DDPMSchedule, key: jax.Array, xt: jnp.ndarray,
     mean, var = p_sample_mean_var(sched, xt, eps_pred, t)
     eps = jax.random.normal(key, xt.shape, dtype=xt.dtype)
     return mean + jnp.sqrt(var) * eps
+
+
+def ddim_step(sched: DDPMSchedule, xt: jnp.ndarray, eps_pred: jnp.ndarray,
+              t: jnp.ndarray, t_prev: jnp.ndarray) -> jnp.ndarray:
+    """One deterministic DDIM update t -> t_prev (eta=0; Song et al.,
+    arXiv 2010.02502 eq. 12). Shares the training schedule with the
+    ancestral sampler, but admits an arbitrary timestep SUBSET: S
+    sampling steps over a T-step schedule = T/S fewer model evals.
+    ``t_prev < 0`` denotes the terminal step (alpha_bar_prev = 1), which
+    returns the predicted x0 exactly."""
+    a_bar = _gather(sched.alpha_bar, t, xt.ndim)
+    a_prev = jnp.where(t_prev >= 0, sched.alpha_bar[jnp.maximum(t_prev, 0)],
+                       jnp.ones(()))
+    a_prev = a_prev.reshape(a_bar.shape)
+    x0 = (xt - jnp.sqrt(1.0 - a_bar) * eps_pred) / jnp.sqrt(a_bar)
+    return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps_pred
+
+
+def ddim_timesteps(total_steps: int, sample_steps: int):
+    """Evenly spaced sub-schedule (descending): returns (t_cur, t_prev)
+    int32 arrays of length <= ``sample_steps`` with t_prev[-1] = -1
+    (rounding duplicates collapse, so the effective count can be
+    slightly lower when sample_steps approaches total_steps)."""
+    import numpy as np
+    if not 1 <= sample_steps <= total_steps:
+        raise ValueError(f"sample_steps {sample_steps} must be in "
+                         f"[1, {total_steps}]")
+    ts = np.unique(np.round(
+        np.linspace(0, total_steps - 1, sample_steps)).astype(np.int64))
+    ts = ts[::-1]                                  # descending t
+    prev = np.concatenate([ts[1:], [-1]])
+    return ts.astype("int32"), prev.astype("int32")
 
 
 def loss(eps_pred: jnp.ndarray, eps_gt: jnp.ndarray) -> jnp.ndarray:

@@ -193,6 +193,12 @@ class ServingEngine:
         Deadline-based flush: a non-full batch launches once its oldest
         request has waited this long. 0 serves every request immediately
         (latency-optimal, throughput-poor).
+    scaling_plan
+        Optional ``training.scaling.ScalingPlan``: params are replicated
+        over its mesh and every tier divisible by the DP width is
+        dispatched data-sharded (XLA partitions the whole sampler along
+        the batch axis — all ops are per-sample). Tiers below the DP
+        width still run (replicated inputs, single-device work).
     probe_shape
         Encoder input shape sans batch for ONE series (the trailing time
         dim is substituted per bucket); defaults to univariate ``(T,)``
@@ -208,7 +214,8 @@ class ServingEngine:
                  max_wait_ms: float = 20.0,
                  probe_shape: Optional[Tuple[int, ...]] = None,
                  default_cfg_scale: float = 7.0,
-                 text_emb_dim: int = 128):
+                 text_emb_dim: int = 128,
+                 scaling_plan=None):
         if not out_lengths:
             raise ValueError("need at least one out_length bucket")
         tiers = sorted(set(int(b) for b in batch_tiers))
@@ -218,6 +225,11 @@ class ServingEngine:
         self._max_wait = max_wait_ms / 1e3
         self._default_cfg = float(default_cfg_scale)
         self._emb_dim = int(text_emb_dim)
+        self._plan = scaling_plan
+        if scaling_plan is not None and scaling_plan.n_data > 1:
+            from t2ms_tpu.training.scaling import replicate_tree
+            params = replicate_tree(scaling_plan, params)
+            vae_params = replicate_tree(scaling_plan, vae_params)
         self._params, self._vae_params = params, vae_params
         self._samplers: Dict[Tuple[int, int], Callable] = {}
         self._latent: Dict[int, Tuple[int, int]] = {}
@@ -401,8 +413,16 @@ class ServingEngine:
                 batch_size=tier, batched_with=n))
 
     def _dispatch_arrays(self, L, tier, seeds, cfg, emb) -> np.ndarray:
+        seeds, cfg, emb = (jnp.asarray(seeds), jnp.asarray(cfg),
+                           jnp.asarray(emb))
+        if (self._plan is not None and self._plan.n_data > 1
+                and tier % self._plan.n_data == 0):
+            from t2ms_tpu.parallel.mesh import data_sharding
+            mesh = self._plan.mesh
+            seeds = jax.device_put(seeds, data_sharding(mesh, 1))
+            cfg = jax.device_put(cfg, data_sharding(mesh, 1))
+            emb = jax.device_put(emb, data_sharding(mesh, emb.ndim))
         out = self._samplers[(L, tier)](
-            self._params, self._vae_params, jnp.asarray(seeds),
-            jnp.asarray(cfg), jnp.asarray(emb))
+            self._params, self._vae_params, seeds, cfg, emb)
         # host transfer = the only reliable sync through the tunnel
         return np.asarray(out)

@@ -3,6 +3,7 @@ correctness property), serving-sampler parity with a hand-rolled python
 CFG loop, per-sample DDPM noise, padding/tier bookkeeping, deadline
 flush, and shutdown semantics."""
 
+import argparse
 import threading
 import time
 
@@ -215,3 +216,29 @@ def test_engine_concurrent_submitters():
     assert sorted(outs) == list(range(8))
     assert all(np.isfinite(outs[i].series).all() for i in outs)
     assert st["served_rows"] == 8
+
+
+def test_engine_dp_sharded_parity():
+    """With a ScalingPlan over the 8 virtual CPU devices, DP-divisible
+    tiers dispatch data-sharded and must reproduce the unsharded engine's
+    results row for row."""
+    from t2ms_tpu.training.scaling import setup_scaling
+
+    vae, vp, dit, dp, _ = _setup()
+    emb = np.asarray(jax.random.normal(jax.random.key(17), (8, 32)))
+    reqs = [(emb[i], 24, 2.0 + i, 300 + i) for i in range(8)]
+
+    plan = setup_scaling(
+        argparse.Namespace(batch_size=8, compute_dtype="f32"),
+        for_training=False)
+    assert plan.n_data > 1, "conftest should provide 8 virtual devices"
+
+    with _engine(vae, vp, dit, dp, batch_tiers=(8,),
+                 max_wait_ms=500.0, scaling_plan=plan) as eng:
+        sharded = eng.generate(reqs)
+    with _engine(vae, vp, dit, dp, batch_tiers=(8,),
+                 max_wait_ms=500.0) as eng:
+        plain = eng.generate(reqs)
+    for a, b in zip(sharded, plain):
+        np.testing.assert_allclose(a.series, b.series, rtol=1e-4,
+                                   atol=1e-5)
