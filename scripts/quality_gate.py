@@ -72,11 +72,12 @@ def main():
                          "mirrors the reference's per-dataset op-point "
                          "sweeps; requires --eval_cfid")
     ap.add_argument("--solver", default="euler",
-                    choices=["euler", "heun", "midpoint"],
-                    help="flow-ODE integrator for the sampling/eval stage "
+                    choices=["euler", "heun", "midpoint", "ddim"],
+                    help="integrator for the sampling/eval stage "
                          "(training is solver-independent). Pair with "
                          "--sample_steps for the equal-quality-fewer-evals "
-                         "A/B: euler/100 vs heun/25 (50 evals)")
+                         "A/B: euler/100 vs heun/25 (50 evals), or "
+                         "ddim/25 on --backbone ddpm")
     ap.add_argument("--sample_steps", type=int, default=100,
                     help="sampler total_step for the eval stage")
     ap.add_argument("--bucket_steps", default="",
@@ -194,9 +195,15 @@ def main():
     evals = {L: make_batch(99999 + L, per_bucket_n, L) for L in buckets}
 
     def sample_at(cfg_scale, L):
-        sampler = make_cfg_sampler(dit, vae, args.backbone,
-                                   args.sample_steps, cfg_scale, L,
-                                   solver=args.solver)
+        if args.solver == "ddim":
+            # ddim subsamples the TRAINING schedule (T=100, fixed above)
+            sampler = make_cfg_sampler(dit, vae, args.backbone, 100,
+                                       cfg_scale, L, solver="ddim",
+                                       sample_steps=args.sample_steps)
+        else:
+            sampler = make_cfg_sampler(dit, vae, args.backbone,
+                                       args.sample_steps, cfg_scale, L,
+                                       solver=args.solver)
         x_gt, e_gt, _ = evals[L]
         out = sampler(sd.params, vp, jax.random.key(42),
                       jnp.asarray(x_gt), jnp.asarray(e_gt))

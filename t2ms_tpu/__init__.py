@@ -10,7 +10,8 @@ and the offline dataset-construction pipeline.
 Layer map (mirrors reference SURVEY.md §1, rebuilt TPU-first):
   cli/        entry-point apps (train / infer / evaluate / pretrain_vae)
   training/   jitted training loops, optimizers, checkpoints (Orbax)
-  sampling/   fused-CFG lax.scan samplers
+  sampling/   fused-CFG lax.scan samplers (euler/heun/midpoint/ddim)
+  serving/    online dynamic-batching engine (+ cli.serve HTTP front-end)
   models/     backbones (flow math), denoisers (DiT/MLP), VAEs
   ops/        TPU kernels: resize-as-matmul, attention, fused adaLN
   data/       length-bucketed host pipelines (CSV + motion JSON)

@@ -38,13 +38,17 @@ def get_args(argv=None):
     p.add_argument("--cfg_scale", type=float, default=7)
     p.add_argument("--total_step", type=int, default=100)
     p.add_argument("--solver", type=str, default="euler",
-                   choices=["euler", "heun", "midpoint"],
-                   help="flow-ODE integrator (flowmatching only). euler = "
-                        "reference parity (infer.py:84). heun/midpoint are "
-                        "order-2 (2 model evals/step): matched endpoint "
-                        "error at ~1/4 the steps, i.e. ~2x fewer evals "
-                        "for the same quality — drop --total_step "
-                        "accordingly")
+                   choices=["euler", "heun", "midpoint", "ddim"],
+                   help="integrator. euler = reference parity "
+                        "(infer.py:84; flow ODE or DDPM ancestral). "
+                        "heun/midpoint (flow only) are order-2 (2 model "
+                        "evals/step): matched endpoint error at ~1/4 the "
+                        "steps — drop --total_step accordingly. ddim "
+                        "(ddpm only) samples deterministically over "
+                        "--sample_steps of the total_step schedule")
+    p.add_argument("--sample_steps", type=int, default=0,
+                   help="ddim only: sampling steps over the --total_step "
+                        "training schedule (0 = total_step)")
     p.add_argument("--checkpoint_id", type=int, default=19999)
     p.add_argument("--dataset_name", type=str, default="exchangerate_24")
     p.add_argument("--run_multi", type=lambda s: s not in ("0", "False"),
@@ -199,7 +203,8 @@ def infer(args, run_dir: str, seed_offset: int = 0, collect_gif=True,
             ctx["denoiser"], vae, args.backbone, args.total_step,
             args.cfg_scale, out_length=length,
             collect_trajectory=collect_gif,
-            solver=getattr(args, "solver", "euler"))
+            solver=getattr(args, "solver", "euler"),
+            sample_steps=getattr(args, "sample_steps", 0) or None)
     sampler = ctx["samplers"][collect_gif]
     key = root_key(args.general_seed + seed_offset)
 

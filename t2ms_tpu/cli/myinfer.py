@@ -41,9 +41,13 @@ def get_args(argv=None):
     p.add_argument("--cfg_scale", type=float, default=3)
     p.add_argument("--total_step", type=int, default=100)
     p.add_argument("--solver", type=str, default="euler",
-                   choices=["euler", "heun", "midpoint"],
-                   help="flow-ODE integrator; euler = reference parity, "
-                        "heun/midpoint are order-2 (see cli.infer)")
+                   choices=["euler", "heun", "midpoint", "ddim"],
+                   help="integrator; euler = reference parity, "
+                        "heun/midpoint order-2 flow, ddim = few-step "
+                        "deterministic DDPM (see cli.infer)")
+    p.add_argument("--sample_steps", type=int, default=0,
+                   help="ddim only: sampling steps over the --total_step "
+                        "schedule (0 = total_step)")
     p.add_argument("--checkpoint_id", type=int, default=2500)
     p.add_argument("--dataset_name", type=str,
                    choices=["deadlift", "benchpress"], default="benchpress")
@@ -158,7 +162,8 @@ def infer(args, run_dir: str, seed_offset: int = 0, ctx=None):
             samplers[length] = make_cfg_sampler(
                 denoiser, vae, args.backbone, args.total_step,
                 args.cfg_scale, out_length=length,
-                solver=getattr(args, "solver", "euler"))
+                solver=getattr(args, "solver", "euler"),
+                sample_steps=getattr(args, "sample_steps", 0) or None)
         emb = (embedder.embed(batch.texts) if embedder is not None
                else batch.embedding)
         out = samplers[length](d_params, vae_params, step_key(key, b),

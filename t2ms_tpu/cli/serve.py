@@ -46,8 +46,11 @@ def get_args(argv=None):
     p.add_argument("--backbone", type=str, default="flowmatching")
     p.add_argument("--denoiser", type=str, default="DiT")
     p.add_argument("--solver", type=str, default="euler",
-                   choices=["euler", "heun", "midpoint"])
+                   choices=["euler", "heun", "midpoint", "ddim"])
     p.add_argument("--total_step", type=int, default=100)
+    p.add_argument("--sample_steps", type=int, default=0,
+                   help="ddim only: sampling steps over the --total_step "
+                        "schedule (0 = total_step)")
     p.add_argument("--cfg_scale", type=float, default=7.0,
                    help="default guidance scale (overridable per request)")
     p.add_argument("--buckets", type=str, default="96",
@@ -194,6 +197,7 @@ def main(argv=None):
     engine = ServingEngine(
         denoiser, vae, d_params, vae_params, backbone=args.backbone,
         total_step=args.total_step, solver=args.solver,
+        sample_steps=args.sample_steps or None,
         out_lengths=buckets, batch_tiers=tiers,
         max_wait_ms=args.max_wait_ms, default_cfg_scale=args.cfg_scale,
         text_emb_dim=args.text_emb_dim,

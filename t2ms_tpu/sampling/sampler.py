@@ -93,6 +93,7 @@ def make_cfg_sampler(
     out_length: int = 96,
     collect_trajectory: bool = False,
     solver: str = "euler",
+    sample_steps: Optional[int] = None,
 ) -> Callable:
     """Build the jitted sampler.
 
@@ -101,20 +102,30 @@ def make_cfg_sampler(
     only for the latent SHAPE and the encoded-latent diagnostic, mirroring
     infer.py:73-75).
 
-    ``solver`` selects the flow-ODE integrator (flowmatching only; the
-    reference has Euler alone, infer.py:84): 'euler' (1 model eval/step,
-    the reference default and exact parity), or the 2nd-order 'heun' /
-    'midpoint' (2 evals/step) — order-2 convergence lets total_step drop
-    ~4x at matched endpoint error, i.e. ~2x fewer model evals for the
-    same quality (DDIM/solver-family acceleration, arXiv 2010.02502).
+    ``solver`` selects the integrator. Flowmatching (reference has Euler
+    alone, infer.py:84): 'euler' (1 model eval/step, exact reference
+    parity), or the 2nd-order 'heun' / 'midpoint' (2 evals/step) —
+    order-2 convergence lets total_step drop ~4x at matched endpoint
+    error, i.e. ~2x fewer model evals for the same quality. DDPM:
+    'euler' = the reference's ancestral loop (infer.py:84 backward t),
+    or 'ddim' = the deterministic eta=0 sampler (arXiv 2010.02502) over
+    a ``sample_steps``-long evenly spaced sub-schedule of the
+    ``total_step`` TRAINING schedule — total_step/sample_steps fewer
+    model evals. ``sample_steps`` is only meaningful with 'ddim'.
     """
     if backbone not in ("flowmatching", "ddpm"):
         raise ValueError(f"Unsupported backbone type: {backbone}")
-    if solver not in ("euler", "heun", "midpoint"):
+    if solver not in ("euler", "heun", "midpoint", "ddim"):
         raise ValueError(f"Unsupported solver: {solver}")
-    if solver != "euler" and backbone != "flowmatching":
+    if solver in ("heun", "midpoint") and backbone != "flowmatching":
         raise ValueError("higher-order solvers integrate the flow ODE; "
-                         "ddpm sampling is ancestral (use euler)")
+                         "ddpm sampling is ancestral (euler) or ddim")
+    if solver == "ddim" and backbone != "ddpm":
+        raise ValueError("ddim subsamples the DDPM schedule; flow "
+                         "sampling takes solver=euler|heun|midpoint")
+    if sample_steps is not None and solver != "ddim":
+        raise ValueError("sample_steps only applies to solver='ddim' "
+                         "(other solvers run total_step steps)")
     sched = (ddpm_lib.make_schedule(total_step)
              if backbone == "ddpm" else None)
     forward = _serving_forward(denoiser)
@@ -159,12 +170,26 @@ def make_cfg_sampler(
             x_next = ddpm_lib.p_sample(sched, step_key, x_t, pred, t)
             return x_next, (x_next if collect_trajectory else None)
 
-        if backbone == "ddpm":
-            body = ddpm_step
+        def ddim_body(x_t, tp):
+            t_cur, t_prev = tp
+            t = jnp.full((B,), t_cur, dtype=jnp.int32)
+            pred = _fused_cfg_forward(denoiser, params, x_t, t, text_emb,
+                                      cfg_scale, forward)
+            x_next = ddpm_lib.ddim_step(sched, x_t, pred, t,
+                                        jnp.full((B,), t_prev, jnp.int32))
+            return x_next, (x_next if collect_trajectory else None)
+
+        if backbone == "ddpm" and solver == "ddim":
+            ts, prev = ddpm_lib.ddim_timesteps(
+                total_step, sample_steps or total_step)
+            body, xs = ddim_body, (jnp.asarray(ts), jnp.asarray(prev))
+        elif backbone == "ddpm":
+            body, xs = ddpm_step, jnp.arange(total_step)
         else:
             body = {"euler": flow_step, "heun": heun_step,
                     "midpoint": midpoint_step}[solver]
-        x_t, traj = jax.lax.scan(body, x_t0, jnp.arange(total_step))
+            xs = jnp.arange(total_step)
+        x_t, traj = jax.lax.scan(body, x_t0, xs)
         series, _ = vae_model.apply(vae_params, x_t, out_length,
                                     method=vae_model.decode)
         return SamplerOutput(series=series, latent=x_t, latent_enc=z_enc,

@@ -58,6 +58,7 @@ def make_serving_sampler(
     latent_shape: Tuple[int, int] = (64, 30),
     out_length: int = 96,
     solver: str = "euler",
+    sample_steps: Optional[int] = None,
 ) -> Callable:
     """Build the jitted online-serving sampler.
 
@@ -80,11 +81,16 @@ def make_serving_sampler(
     """
     if backbone not in ("flowmatching", "ddpm"):
         raise ValueError(f"Unsupported backbone type: {backbone}")
-    if solver not in ("euler", "heun", "midpoint"):
+    if solver not in ("euler", "heun", "midpoint", "ddim"):
         raise ValueError(f"Unsupported solver: {solver}")
-    if solver != "euler" and backbone != "flowmatching":
+    if solver in ("heun", "midpoint") and backbone != "flowmatching":
         raise ValueError("higher-order solvers integrate the flow ODE; "
-                         "ddpm sampling is ancestral (use euler)")
+                         "ddpm sampling is ancestral (euler) or ddim")
+    if solver == "ddim" and backbone != "ddpm":
+        raise ValueError("ddim subsamples the DDPM schedule; flow "
+                         "sampling takes solver=euler|heun|midpoint")
+    if sample_steps is not None and solver != "ddim":
+        raise ValueError("sample_steps only applies to solver='ddim'")
     sched = (ddpm_lib.make_schedule(total_step)
              if backbone == "ddpm" else None)
     forward = _serving_forward(denoiser)
@@ -139,12 +145,26 @@ def make_serving_sampler(
             mean, var = ddpm_lib.p_sample_mean_var(sched, x_t, pred, t)
             return mean + jnp.sqrt(var) * eps, None
 
-        if backbone == "ddpm":
-            body = ddpm_step
+        def ddim_body(x_t, tp):
+            # deterministic (eta=0): noise enters only at x_t0, so the
+            # batch-composition invariance holds trivially
+            t_cur, t_prev = tp
+            t = jnp.full((B,), t_cur, dtype=jnp.int32)
+            x_next = ddpm_lib.ddim_step(sched, x_t, cfg_fwd(x_t, t), t,
+                                        jnp.full((B,), t_prev, jnp.int32))
+            return x_next, None
+
+        if backbone == "ddpm" and solver == "ddim":
+            ts, prev = ddpm_lib.ddim_timesteps(
+                total_step, sample_steps or total_step)
+            body, xs = ddim_body, (jnp.asarray(ts), jnp.asarray(prev))
+        elif backbone == "ddpm":
+            body, xs = ddpm_step, jnp.arange(total_step)
         else:
             body = {"euler": flow_step, "heun": heun_step,
                     "midpoint": midpoint_step}[solver]
-        x_t, _ = jax.lax.scan(body, x_t0, jnp.arange(total_step))
+            xs = jnp.arange(total_step)
+        x_t, _ = jax.lax.scan(body, x_t0, xs)
         series, _ = vae_model.apply(vae_params, x_t, out_length,
                                     method=vae_model.decode)
         return series
@@ -208,7 +228,7 @@ class ServingEngine:
 
     def __init__(self, denoiser, vae_model, params, vae_params, *,
                  backbone: str = "flowmatching", total_step: int = 100,
-                 solver: str = "euler",
+                 solver: str = "euler", sample_steps: Optional[int] = None,
                  out_lengths: Sequence[int] = (96,),
                  batch_tiers: Sequence[int] = (1, 4, 16),
                  max_wait_ms: float = 20.0,
@@ -245,7 +265,7 @@ class ServingEngine:
             for tier in tiers:
                 self._samplers[(int(L), tier)] = make_serving_sampler(
                     denoiser, vae_model, backbone, total_step,
-                    self._latent[int(L)], int(L), solver)
+                    self._latent[int(L)], int(L), solver, sample_steps)
 
         self._lock = threading.Condition()
         self._queues: Dict[int, collections.deque] = {

@@ -242,3 +242,19 @@ def test_engine_dp_sharded_parity():
     for a, b in zip(sharded, plain):
         np.testing.assert_allclose(a.series, b.series, rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_serving_sampler_ddim_rows_deterministic():
+    """DDIM through the serving sampler: deterministic given the seed,
+    and batch-composition independent (noise enters only at x_t0)."""
+    vae, vp, dit, dp, lat = _setup()
+    s = make_serving_sampler(dit, vae, "ddpm", 8, lat, 24,
+                             solver="ddim", sample_steps=3)
+    emb = jax.random.normal(jax.random.key(21), (3, 32))
+    seeds = jnp.array([4, 5, 6], dtype=jnp.uint32)
+    cfg = jnp.full((3,), 2.0, jnp.float32)
+    out = np.asarray(s(dp, vp, seeds, cfg, emb))
+    solo = np.asarray(s(dp, vp, seeds[2:3], cfg[2:3], emb[2:3]))
+    np.testing.assert_allclose(solo[0], out[2], rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(out, np.asarray(s(dp, vp, seeds, cfg,
+                                                    emb)))
