@@ -33,6 +33,7 @@ and it routes through the same fused-stack Pallas forwards.
 from __future__ import annotations
 
 import collections
+import queue as _queue
 import threading
 import time
 from concurrent.futures import Future
@@ -267,6 +268,10 @@ class ServingEngine:
                     denoiser, vae_model, backbone, total_step,
                     self._latent[int(L)], int(L), solver, sample_steps)
 
+        # serializes device dispatch between the dispatcher thread and
+        # warmup() callers (execution would serialize on-device anyway,
+        # but interleaved staging muddles per-batch latency accounting)
+        self._dispatch_lock = threading.Lock()
         self._lock = threading.Condition()
         self._queues: Dict[int, collections.deque] = {
             int(L): collections.deque() for L in out_lengths}
@@ -274,9 +279,18 @@ class ServingEngine:
         self._seed_counter = 0
         self._stats = dict(requests=0, batches=0, padded_rows=0,
                            served_rows=0, latencies=[])
+        # two-stage pipeline: the dispatcher forms + dispatches batches
+        # (JAX dispatch is async), the completer host-syncs and fulfils
+        # futures — so the host transfer of batch N overlaps the device
+        # compute of batch N+1. maxsize bounds device-queued batches.
+        self._inflight = _queue.Queue(maxsize=2)
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="t2ms-serving-dispatch")
+        self._completer = threading.Thread(target=self._complete_loop,
+                                           daemon=True,
+                                           name="t2ms-serving-complete")
         self._worker.start()
+        self._completer.start()
 
     # ------------------------------------------------------------- API
 
@@ -348,6 +362,7 @@ class ServingEngine:
                             RuntimeError("engine shut down"))
             self._lock.notify_all()
         self._worker.join(timeout=600.0)
+        self._completer.join(timeout=600.0)
 
     def __enter__(self):
         return self
@@ -368,10 +383,11 @@ class ServingEngine:
                         break
                     self._lock.wait(timeout=self._wait_budget())
                 if batch is None and self._stop:
+                    self._inflight.put(None)       # completer sentinel
                     return
             L, reqs = batch
             try:
-                self._serve(L, reqs)
+                self._launch(L, reqs)
             except Exception as e:  # noqa: BLE001 - fulfil futures
                 for r in reqs:
                     if not r.future.done():
@@ -409,7 +425,10 @@ class ServingEngine:
         n = min(len(q), self._tiers[-1])
         return L, [q.popleft() for _ in range(n)]
 
-    def _serve(self, L: int, reqs):
+    def _launch(self, L: int, reqs):
+        """Dispatcher side: pad to the tier, dispatch asynchronously,
+        hand the in-flight device result to the completer (blocks when
+        the pipeline is full — natural backpressure)."""
         tier = next(t for t in self._tiers if t >= len(reqs))
         n = len(reqs)
         emb = np.stack([r.emb for r in reqs] +
@@ -418,21 +437,46 @@ class ServingEngine:
                          dtype=np.uint32)
         cfg = np.array([r.cfg for r in reqs] +
                        [self._default_cfg] * (tier - n), dtype=np.float32)
-        series = self._dispatch_arrays(L, tier, seeds, cfg, emb)
-        t_done = time.monotonic()
-        with self._lock:
-            self._stats["batches"] += 1
-            self._stats["served_rows"] += n
-            self._stats["padded_rows"] += tier - n
-            for r in reqs:
-                self._stats["latencies"].append(t_done - r.submit_t)
-        for i, r in enumerate(reqs):
-            r.future.set_result(GenerationResult(
-                series=series[i], seed=r.seed, out_length=L,
-                cfg_scale=r.cfg, latency_s=t_done - r.submit_t,
-                batch_size=tier, batched_with=n))
+        out = self._dispatch_async(L, tier, seeds, cfg, emb)
+        self._inflight.put((L, tier, reqs, out))
+
+    def _complete_loop(self):
+        """Completer side: host-sync each in-flight batch (the only
+        reliable sync through the tunnel), account stats, fulfil
+        futures. Runs until the dispatcher's shutdown sentinel."""
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            L, tier, reqs, out = item
+            try:
+                series = np.asarray(out)
+            except Exception as e:  # noqa: BLE001 - surface to futures
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+                continue
+            n = len(reqs)
+            t_done = time.monotonic()
+            with self._lock:
+                self._stats["batches"] += 1
+                self._stats["served_rows"] += n
+                self._stats["padded_rows"] += tier - n
+                for r in reqs:
+                    self._stats["latencies"].append(t_done - r.submit_t)
+                # bound the window: a long-running server must not leak
+                if len(self._stats["latencies"]) > 20_000:
+                    del self._stats["latencies"][:10_000]
+            for i, r in enumerate(reqs):
+                r.future.set_result(GenerationResult(
+                    series=series[i], seed=r.seed, out_length=L,
+                    cfg_scale=r.cfg, latency_s=t_done - r.submit_t,
+                    batch_size=tier, batched_with=n))
 
     def _dispatch_arrays(self, L, tier, seeds, cfg, emb) -> np.ndarray:
+        return np.asarray(self._dispatch_async(L, tier, seeds, cfg, emb))
+
+    def _dispatch_async(self, L, tier, seeds, cfg, emb):
         seeds, cfg, emb = (jnp.asarray(seeds), jnp.asarray(cfg),
                            jnp.asarray(emb))
         if (self._plan is not None and self._plan.n_data > 1
@@ -442,7 +486,8 @@ class ServingEngine:
             seeds = jax.device_put(seeds, data_sharding(mesh, 1))
             cfg = jax.device_put(cfg, data_sharding(mesh, 1))
             emb = jax.device_put(emb, data_sharding(mesh, emb.ndim))
-        out = self._samplers[(L, tier)](
-            self._params, self._vae_params, seeds, cfg, emb)
-        # host transfer = the only reliable sync through the tunnel
-        return np.asarray(out)
+        with self._dispatch_lock:
+            # async: returns a device array immediately; the completer
+            # (or _dispatch_arrays for warmup) host-syncs it
+            return self._samplers[(L, tier)](
+                self._params, self._vae_params, seeds, cfg, emb)

@@ -113,3 +113,19 @@ def test_get_args_surface():
                   "--port", "0", "--total_step", "5"])
     assert a.buckets == "24,96" and a.total_step == 5
     assert a.checkpoint_path and a.pretrained_model_path
+
+
+def test_load_bundle_random_init(tmp_path, capsys):
+    """Without checkpoints on disk, load_bundle builds the T2S-scale
+    bundle from the deterministic random init (warning, not a crash) and
+    parses the bucket list."""
+    from t2ms_tpu.cli.serve import load_bundle
+    a = get_args(["--buckets", "24,48", "--save_path", str(tmp_path),
+                  "--total_step", "2"])
+    vae, vp, dit, dp, buckets = load_bundle(a)
+    assert buckets == [24, 48]
+    z, _ = vae.apply(vp, jnp.zeros((1, 48)), method=vae.encode)
+    assert z.shape == (1, 64, 30)
+    out = dit.apply(dp, z, jnp.zeros(1), jnp.zeros((1, 128)))
+    assert out.shape == z.shape
+    assert "WARNING" in capsys.readouterr().out
