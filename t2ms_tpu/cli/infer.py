@@ -50,6 +50,11 @@ def get_args(argv=None):
                    help="ddim only: sampling steps over the --total_step "
                         "training schedule (0 = total_step)")
     p.add_argument("--checkpoint_id", type=int, default=19999)
+    p.add_argument("--use_ema", type=lambda s: s not in ("0", "False"),
+                   default=False,
+                   help="sample from the EMA shadow weights saved by "
+                        "cli.train --ema_decay (model_{id}_ema) instead "
+                        "of the live weights; errors if absent")
     p.add_argument("--dataset_name", type=str, default="exchangerate_24")
     p.add_argument("--run_multi", type=lambda s: s not in ("0", "False"),
                    default=False)
@@ -176,6 +181,15 @@ def _build_ctx(args):
     else:
         print(f"WARNING: no checkpoint at {args.checkpoint_path}; "
               "sampling from random weights")
+
+    if getattr(args, "use_ema", False):
+        ema_path = args.checkpoint_path + "_ema"
+        if not os.path.isdir(ema_path):
+            raise FileNotFoundError(
+                f"--use_ema: no EMA checkpoint at {ema_path} (train with "
+                f"--ema_decay to produce one)")
+        d_params = ckpt.load_params(ema_path, d_params)
+        print(f"Loaded EMA weights from {ema_path}")
 
     if plan.n_data > 1:
         from t2ms_tpu.training.scaling import replicate_tree

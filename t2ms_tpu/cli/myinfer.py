@@ -49,6 +49,10 @@ def get_args(argv=None):
                    help="ddim only: sampling steps over the --total_step "
                         "schedule (0 = total_step)")
     p.add_argument("--checkpoint_id", type=int, default=2500)
+    p.add_argument("--use_ema", type=lambda s: s not in ("0", "False"),
+                   default=False,
+                   help="sample from the EMA shadow (model_{id}_ema) "
+                        "saved by cli.mytrain --ema_decay")
     p.add_argument("--dataset_name", type=str,
                    choices=["deadlift", "benchpress"], default="benchpress")
     p.add_argument("--run_time", type=int, default=1)
@@ -132,6 +136,15 @@ def _build_ctx(args):
     else:
         print(f"WARNING: no checkpoint at {args.checkpoint_path}; "
               "sampling from random weights")
+
+    if getattr(args, "use_ema", False):
+        ema_path = args.checkpoint_path + "_ema"
+        if not os.path.isdir(ema_path):
+            raise FileNotFoundError(
+                f"--use_ema: no EMA checkpoint at {ema_path} (train with "
+                f"--ema_decay to produce one)")
+        d_params = ckpt.load_params(ema_path, d_params)
+        print(f"Loaded EMA weights from {ema_path}")
 
     embedder = (get_embedder(args.embedder)
                 if args.embedder != "precomputed" else None)

@@ -44,6 +44,10 @@ def get_args(argv=None):
                    help="encode each sample through the frozen conv VAE "
                         "ONCE at startup and train on cached latents "
                         "(numerically identical — see cli/train.py)")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="EMA shadow weights (0 = off; 0.999 convention); "
+                        "saved as model_{epoch}_ema, sampled with "
+                        "cli.myinfer --use_ema")
     p.add_argument("--config", type=str, default="config.yaml")
     p.add_argument("--hard_stop_epoch", type=int, default=4000)
     p.add_argument("--max_ckpts_keep", type=int, default=0,
@@ -131,6 +135,18 @@ def train(args):
     state = scaling.replicate_tree(plan, state)
     vae_params = scaling.replicate_tree(plan, vae_params)
 
+    ema = ema_update = None
+    if getattr(args, "ema_decay", 0.0):
+        from t2ms_tpu.training.ema import make_ema_update
+        ema_update = make_ema_update(args.ema_decay)
+        # COPY: the update donates the old EMA buffers (see cli/train.py)
+        ema = jax.tree_util.tree_map(jnp.copy, state.params)
+        ema_ckpt = args.checkpoint_path + "_ema" if args.checkpoint_path \
+            else ""
+        if ema_ckpt and os.path.isdir(ema_ckpt):
+            ema = ckpt.load_params(ema_ckpt, ema)
+            print(f"Resumed EMA weights from {ema_ckpt}")
+
     print("training...")
     key = root_key(args.general_seed)
     logger = JsonlLogger(os.path.join(args.save_path, "train_log.jsonl"))
@@ -159,6 +175,8 @@ def train(args):
                 state, loss = step_fn(state, vae_params,
                                       step_key(key, step_no),
                                       x_dev, emb_dev)
+                if ema_update is not None:
+                    ema = ema_update(ema, state.params)
                 step_no += 1
                 group_losses.append(loss)
                 timer.tick()
@@ -175,6 +193,11 @@ def train(args):
                 # (mytrain.py:46,93); we persist the actual epoch losses
                 mgr.save(epoch, state.params, state.opt_state,
                          loss_list + epoch_losses, opt_step=step_no)
+                if ema is not None:
+                    from t2ms_tpu.training.ema import ema_name, prune_ema
+                    ckpt.save_params(args.save_path, ema,
+                                     name=ema_name(epoch))
+                    prune_ema(args.save_path, mgr.all_steps(), epoch)
             if epoch == args.hard_stop_epoch:
                 break
     mgr.wait_until_finished()

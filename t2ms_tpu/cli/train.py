@@ -57,6 +57,12 @@ def get_args(argv=None):
                         "per-step encode (train.py:73; the encoder is "
                         "frozen+deterministic) without its overhead. "
                         "0/False keeps the in-step encode.")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="exponential-moving-average decay for a shadow "
+                        "copy of the denoiser weights (0 = off, the "
+                        "reference behavior; 0.999 is the diffusion "
+                        "convention). Saved as model_{epoch}_ema; sample "
+                        "it with cli.infer --use_ema")
     p.add_argument("--total_step", type=int, default=100)
     p.add_argument("--backbone", type=str, default="flowmatching")
     p.add_argument("--denoiser", type=str, default="DiT")
@@ -153,6 +159,20 @@ def train(args):
     state = scaling.replicate_tree(plan, state)
     vae_params = scaling.replicate_tree(plan, vae_params)
 
+    ema = ema_update = None
+    if getattr(args, "ema_decay", 0.0):
+        from t2ms_tpu.training.ema import make_ema_update
+        ema_update = make_ema_update(args.ema_decay)
+        # shadow starts as a COPY of the live init: the update donates
+        # the old EMA buffers, so aliasing state.params here would delete
+        # the live training weights on the first update
+        ema = jax.tree_util.tree_map(jnp.copy, state.params)
+        ema_ckpt = args.checkpoint_path + "_ema" if args.checkpoint_path \
+            else ""
+        if ema_ckpt and os.path.isdir(ema_ckpt):
+            ema = ckpt.load_params(ema_ckpt, ema)
+            print(f"Resumed EMA weights from {ema_ckpt}")
+
     key = root_key(args.general_seed)
     logger = JsonlLogger(os.path.join(args.save_path, "train_log.jsonl"))
     timer = StepTimer()
@@ -162,12 +182,13 @@ def train(args):
     with profile_trace(fw.profile_dir):
         state = _run_epochs(args, batcher, step_fn, state, vae_params, key,
                             logger, timer, loss_list, start_epoch,
-                            mesh=plan.mesh)
+                            mesh=plan.mesh, ema=ema, ema_update=ema_update)
     return state
 
 
 def _run_epochs(args, batcher, step_fn, state, vae_params, key, logger,
-                timer, loss_list, start_epoch, mesh=None):
+                timer, loss_list, start_epoch, mesh=None, ema=None,
+                ema_update=None):
     from t2ms_tpu.data.prefetch import prefetch_to_device
     from t2ms_tpu.training import checkpoints as ckpt
     mgr = ckpt.TrainCheckpointManager(
@@ -189,6 +210,8 @@ def _run_epochs(args, batcher, step_fn, state, vae_params, key, logger,
         for i, (batch, (x_dev, emb_dev)) in enumerate(staged):
             state, loss = step_fn(state, vae_params,
                                   step_key(key, step_no), x_dev, emb_dev)
+            if ema_update is not None:
+                ema = ema_update(ema, state.params)
             step_no += 1
             epoch_losses.append(loss)
             timer.tick()
@@ -202,6 +225,10 @@ def _run_epochs(args, batcher, step_fn, state, vae_params, key, logger,
             print(f"Saving model {epoch} to {args.save_path}...")
             mgr.save(epoch, state.params, state.opt_state, loss_list,
                      opt_step=step_no)
+            if ema is not None:
+                from t2ms_tpu.training.ema import ema_name, prune_ema
+                ckpt.save_params(args.save_path, ema, name=ema_name(epoch))
+                prune_ema(args.save_path, mgr.all_steps(), epoch)
     mgr.wait_until_finished()
     mgr.close()
     return state

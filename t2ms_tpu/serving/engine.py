@@ -19,9 +19,11 @@ recompile (20-40 s cold through the tunnel); instead the engine
     (seed_i, cfg_i, text_emb_i, out_length_i) — never on which other
     requests shared its batch. That property is what makes dynamic
     batching semantically invisible;
-  * runs a single dispatcher thread (only ONE process/stream may own the
-    TPU) with a deadline-based flush: a batch launches when it fills the
-    largest tier or when its oldest request has waited ``max_wait_ms``.
+  * runs a two-stage pipeline — ONE dispatcher thread owns device
+    dispatch (deadline-based flush: a batch launches when it fills the
+    largest tier or its oldest request has waited ``max_wait_ms``) and a
+    completer thread host-syncs results, so the host transfer of batch N
+    overlaps the device compute of batch N+1.
 
 ``make_serving_sampler`` is the shape-static analogue of
 ``sampling.make_cfg_sampler``: it drops the reference's ground-truth
