@@ -80,6 +80,12 @@ def main():
                          "ddim/25 on --backbone ddpm")
     ap.add_argument("--sample_steps", type=int, default=100,
                     help="sampler total_step for the eval stage")
+    ap.add_argument("--ema_decay", type=float, default=0.0,
+                    help="train an EMA shadow and EVALUATE it instead of "
+                         "the live weights (0 = off). Training is "
+                         "unchanged step for step, so the same-seed gate "
+                         "without this flag is the exact quality A/B "
+                         "partner (e.g. 0.999 at --steps 8000)")
     ap.add_argument("--bucket_steps", default="",
                     help="per-bucket step-allocation ratios for multi-"
                          "bucket tracks, e.g. '1,1,2' gives the longest "
@@ -180,13 +186,21 @@ def main():
     opt_d = onecycle_adamw(args.steps)
     sd = TrainState(dp, opt_d.init(dp), jnp.zeros((), jnp.int32))
     dstep = make_denoiser_train_step(dit, vae, opt_d, args.backbone, 100)
+    from t2ms_tpu.training.ema import setup_cli_ema
+    ema, ema_update = setup_cli_ema(args.ema_decay, sd.params)
     for i in range(args.steps):
         x, e, _ = make_batch(1000 + i, B, schedule[i % len(schedule)])
         sd, dloss = dstep(sd, vp, jax.random.key(i), jnp.asarray(x),
                           jnp.asarray(e))
+        if ema_update is not None:
+            ema = ema_update(ema, sd.params)
         if i % 300 == 0:
             print(f"denoiser step {i}: loss {float(dloss):.4f}",
                   file=sys.stderr)
+    if ema is not None:
+        # score the SHADOW: training was identical step for step, so a
+        # same-seed gate without --ema_decay is the exact A/B partner
+        sd = TrainState(ema, sd.opt_state, sd.step)
 
     # --- sample + evaluate (optionally sweeping cfg_scale like the
     # reference's scripts/script.sh per-dataset op-point tuning) ---

@@ -183,13 +183,8 @@ def _build_ctx(args):
               "sampling from random weights")
 
     if getattr(args, "use_ema", False):
-        ema_path = args.checkpoint_path + "_ema"
-        if not os.path.isdir(ema_path):
-            raise FileNotFoundError(
-                f"--use_ema: no EMA checkpoint at {ema_path} (train with "
-                f"--ema_decay to produce one)")
-        d_params = ckpt.load_params(ema_path, d_params)
-        print(f"Loaded EMA weights from {ema_path}")
+        from t2ms_tpu.training.ema import load_ema_for_inference
+        d_params = load_ema_for_inference(args.checkpoint_path, d_params)
 
     if plan.n_data > 1:
         from t2ms_tpu.training.scaling import replicate_tree

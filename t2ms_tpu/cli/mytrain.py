@@ -135,17 +135,9 @@ def train(args):
     state = scaling.replicate_tree(plan, state)
     vae_params = scaling.replicate_tree(plan, vae_params)
 
-    ema = ema_update = None
-    if getattr(args, "ema_decay", 0.0):
-        from t2ms_tpu.training.ema import make_ema_update
-        ema_update = make_ema_update(args.ema_decay)
-        # COPY: the update donates the old EMA buffers (see cli/train.py)
-        ema = jax.tree_util.tree_map(jnp.copy, state.params)
-        ema_ckpt = args.checkpoint_path + "_ema" if args.checkpoint_path \
-            else ""
-        if ema_ckpt and os.path.isdir(ema_ckpt):
-            ema = ckpt.load_params(ema_ckpt, ema)
-            print(f"Resumed EMA weights from {ema_ckpt}")
+    from t2ms_tpu.training.ema import setup_cli_ema
+    ema, ema_update = setup_cli_ema(getattr(args, "ema_decay", 0.0),
+                                    state.params, args.checkpoint_path)
 
     print("training...")
     key = root_key(args.general_seed)
@@ -194,10 +186,9 @@ def train(args):
                 mgr.save(epoch, state.params, state.opt_state,
                          loss_list + epoch_losses, opt_step=step_no)
                 if ema is not None:
-                    from t2ms_tpu.training.ema import ema_name, prune_ema
-                    ckpt.save_params(args.save_path, ema,
-                                     name=ema_name(epoch))
-                    prune_ema(args.save_path, mgr.all_steps(), epoch)
+                    from t2ms_tpu.training.ema import save_cli_ema
+                    save_cli_ema(args.save_path, ema, epoch,
+                                 mgr.all_steps())
             if epoch == args.hard_stop_epoch:
                 break
     mgr.wait_until_finished()

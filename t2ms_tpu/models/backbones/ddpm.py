@@ -98,9 +98,12 @@ def ddim_timesteps(total_steps: int, sample_steps: int):
     if not 1 <= sample_steps <= total_steps:
         raise ValueError(f"sample_steps {sample_steps} must be in "
                          f"[1, {total_steps}]")
-    ts = np.unique(np.round(
-        np.linspace(0, total_steps - 1, sample_steps)).astype(np.int64))
-    ts = ts[::-1]                                  # descending t
+    # descending from T-1 so the FIRST step always denoises from the
+    # max noise level (linspace(0, T-1, 1) would start at t=0 and
+    # return the input noise essentially unchanged)
+    ts = np.round(np.linspace(total_steps - 1, 0,
+                              sample_steps)).astype(np.int64)
+    ts = np.unique(ts)[::-1]                       # dedupe, keep descending
     prev = np.concatenate([ts[1:], [-1]])
     return ts.astype("int32"), prev.astype("int32")
 

@@ -84,6 +84,68 @@ def _fused_cfg_forward(denoiser, params, x_t, t, text_emb, cfg_scale,
     return uncond + cfg_scale * (cond - uncond)
 
 
+def _validate_solver(backbone: str, solver: str,
+                     sample_steps: Optional[int]) -> None:
+    """Shared backbone/solver pairing rules (offline + serving samplers)."""
+    if backbone not in ("flowmatching", "ddpm"):
+        raise ValueError(f"Unsupported backbone type: {backbone}")
+    if solver not in ("euler", "heun", "midpoint", "ddim"):
+        raise ValueError(f"Unsupported solver: {solver}")
+    if solver in ("heun", "midpoint") and backbone != "flowmatching":
+        raise ValueError("higher-order solvers integrate the flow ODE; "
+                         "ddpm sampling is ancestral (euler) or ddim")
+    if solver == "ddim" and backbone != "ddpm":
+        raise ValueError("ddim subsamples the DDPM schedule; flow "
+                         "sampling takes solver=euler|heun|midpoint")
+    if sample_steps is not None and solver != "ddim":
+        raise ValueError("sample_steps only applies to solver='ddim' "
+                         "(other solvers run total_step steps)")
+
+
+def _flow_body(solver: str, vel: Callable, dt: float, total_step: int,
+               collect: bool) -> Callable:
+    """Scan body for one flow-ODE integrator step. ``vel(x, t_scalar)``
+    is the CFG-combined velocity; shared by the offline and serving
+    samplers so the step math cannot diverge between them."""
+    def out(x_next):
+        return x_next if collect else None
+
+    if solver == "euler":
+        def body(x_t, j):
+            x_next = rf.euler(x_t, vel(x_t, j / total_step), dt)
+            return x_next, out(x_next)
+    elif solver == "heun":
+        def body(x_t, j):
+            # explicit trapezoid: v at both interval ends, order-2
+            t0 = j / total_step
+            v1 = vel(x_t, t0)
+            v2 = vel(rf.euler(x_t, v1, dt), t0 + dt)
+            x_next = x_t + (0.5 * dt) * (v1 + v2)
+            return x_next, out(x_next)
+    else:                                   # midpoint
+        def body(x_t, j):
+            t0 = j / total_step
+            v1 = vel(x_t, t0)
+            v2 = vel(rf.euler(x_t, v1, 0.5 * dt), t0 + 0.5 * dt)
+            x_next = x_t + dt * v2
+            return x_next, out(x_next)
+    return body
+
+
+def _ddim_scan_body(sched, cfg_fwd: Callable, batch: int,
+                    collect: bool) -> Callable:
+    """Scan body for one deterministic DDIM step over (t_cur, t_prev)
+    pairs from ``ddpm.ddim_timesteps`` (shared offline + serving)."""
+    def body(x_t, tp):
+        t_cur, t_prev = tp
+        t = jnp.full((batch,), t_cur, dtype=jnp.int32)
+        x_next = ddpm_lib.ddim_step(
+            sched, x_t, cfg_fwd(x_t, t), t,
+            jnp.full((batch,), t_prev, jnp.int32))
+        return x_next, (x_next if collect else None)
+    return body
+
+
 def make_cfg_sampler(
     denoiser,
     vae_model,
@@ -113,19 +175,7 @@ def make_cfg_sampler(
     ``total_step`` TRAINING schedule — total_step/sample_steps fewer
     model evals. ``sample_steps`` is only meaningful with 'ddim'.
     """
-    if backbone not in ("flowmatching", "ddpm"):
-        raise ValueError(f"Unsupported backbone type: {backbone}")
-    if solver not in ("euler", "heun", "midpoint", "ddim"):
-        raise ValueError(f"Unsupported solver: {solver}")
-    if solver in ("heun", "midpoint") and backbone != "flowmatching":
-        raise ValueError("higher-order solvers integrate the flow ODE; "
-                         "ddpm sampling is ancestral (euler) or ddim")
-    if solver == "ddim" and backbone != "ddpm":
-        raise ValueError("ddim subsamples the DDPM schedule; flow "
-                         "sampling takes solver=euler|heun|midpoint")
-    if sample_steps is not None and solver != "ddim":
-        raise ValueError("sample_steps only applies to solver='ddim' "
-                         "(other solvers run total_step steps)")
+    _validate_solver(backbone, solver, sample_steps)
     sched = (ddpm_lib.make_schedule(total_step)
              if backbone == "ddpm" else None)
     forward = _serving_forward(denoiser)
@@ -136,58 +186,30 @@ def make_cfg_sampler(
         x_t0 = jax.random.normal(key, z_enc.shape, dtype=z_enc.dtype)
         B = x_t0.shape[0]
 
-        dt = 1.0 / total_step
-
-        def vel(x_t, t_scalar):
-            t = jnp.full((B,), t_scalar, dtype=x_t0.dtype)
+        def cfg_fwd(x_t, t):
             return _fused_cfg_forward(denoiser, params, x_t, t, text_emb,
                                       cfg_scale, forward)
 
-        def flow_step(x_t, j):
-            x_next = rf.euler(x_t, vel(x_t, j / total_step), dt)
-            return x_next, (x_next if collect_trajectory else None)
-
-        def heun_step(x_t, j):
-            # explicit trapezoid: v at both interval ends, order-2
-            t0 = j / total_step
-            v1 = vel(x_t, t0)
-            v2 = vel(rf.euler(x_t, v1, dt), t0 + dt)
-            x_next = x_t + (0.5 * dt) * (v1 + v2)
-            return x_next, (x_next if collect_trajectory else None)
-
-        def midpoint_step(x_t, j):
-            t0 = j / total_step
-            v1 = vel(x_t, t0)
-            v2 = vel(rf.euler(x_t, v1, 0.5 * dt), t0 + 0.5 * dt)
-            x_next = x_t + dt * v2
-            return x_next, (x_next if collect_trajectory else None)
+        def vel(x_t, t_scalar):
+            return cfg_fwd(x_t, jnp.full((B,), t_scalar, x_t0.dtype))
 
         def ddpm_step(x_t, j):
             t = jnp.full((B,), total_step - 1 - j, dtype=jnp.int32)
-            pred = _fused_cfg_forward(denoiser, params, x_t, t, text_emb,
-                                      cfg_scale, forward)
             step_key = jax.random.fold_in(key, j)
-            x_next = ddpm_lib.p_sample(sched, step_key, x_t, pred, t)
-            return x_next, (x_next if collect_trajectory else None)
-
-        def ddim_body(x_t, tp):
-            t_cur, t_prev = tp
-            t = jnp.full((B,), t_cur, dtype=jnp.int32)
-            pred = _fused_cfg_forward(denoiser, params, x_t, t, text_emb,
-                                      cfg_scale, forward)
-            x_next = ddpm_lib.ddim_step(sched, x_t, pred, t,
-                                        jnp.full((B,), t_prev, jnp.int32))
+            x_next = ddpm_lib.p_sample(sched, step_key, x_t,
+                                       cfg_fwd(x_t, t), t)
             return x_next, (x_next if collect_trajectory else None)
 
         if backbone == "ddpm" and solver == "ddim":
             ts, prev = ddpm_lib.ddim_timesteps(
                 total_step, sample_steps or total_step)
-            body, xs = ddim_body, (jnp.asarray(ts), jnp.asarray(prev))
+            body = _ddim_scan_body(sched, cfg_fwd, B, collect_trajectory)
+            xs = (jnp.asarray(ts), jnp.asarray(prev))
         elif backbone == "ddpm":
             body, xs = ddpm_step, jnp.arange(total_step)
         else:
-            body = {"euler": flow_step, "heun": heun_step,
-                    "midpoint": midpoint_step}[solver]
+            body = _flow_body(solver, vel, 1.0 / total_step, total_step,
+                              collect_trajectory)
             xs = jnp.arange(total_step)
         x_t, traj = jax.lax.scan(body, x_t0, xs)
         series, _ = vae_model.apply(vae_params, x_t, out_length,

@@ -47,8 +47,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from t2ms_tpu.models.backbones import ddpm as ddpm_lib
-from t2ms_tpu.models.backbones import rectified_flow as rf
-from t2ms_tpu.sampling.sampler import _serving_forward
+from t2ms_tpu.sampling.sampler import (_ddim_scan_body, _flow_body,
+                                       _fused_cfg_forward, _serving_forward,
+                                       _validate_solver)
 
 __all__ = ["make_serving_sampler", "ServingEngine", "GenerationResult"]
 
@@ -82,18 +83,7 @@ def make_serving_sampler(
         ancestral noise, so each row's output is invariant to batch
         composition (the dynamic-batching correctness property).
     """
-    if backbone not in ("flowmatching", "ddpm"):
-        raise ValueError(f"Unsupported backbone type: {backbone}")
-    if solver not in ("euler", "heun", "midpoint", "ddim"):
-        raise ValueError(f"Unsupported solver: {solver}")
-    if solver in ("heun", "midpoint") and backbone != "flowmatching":
-        raise ValueError("higher-order solvers integrate the flow ODE; "
-                         "ddpm sampling is ancestral (euler) or ddim")
-    if solver == "ddim" and backbone != "ddpm":
-        raise ValueError("ddim subsamples the DDPM schedule; flow "
-                         "sampling takes solver=euler|heun|midpoint")
-    if sample_steps is not None and solver != "ddim":
-        raise ValueError("sample_steps only applies to solver='ddim'")
+    _validate_solver(backbone, solver, sample_steps)
     sched = (ddpm_lib.make_schedule(total_step)
              if backbone == "ddpm" else None)
     forward = _serving_forward(denoiser)
@@ -105,41 +95,20 @@ def make_serving_sampler(
         keys = jax.vmap(jax.random.key)(seeds)
         x_t0 = jax.vmap(
             lambda k: jax.random.normal(k, (C, H), jnp.float32))(keys)
-        dt = 1.0 / total_step
+        # per-sample (B,1,1) guidance vector broadcasts through the same
+        # uncond + scale*(cond-uncond) combine as the offline scalar
         scale = cfg_scale.astype(x_t0.dtype)[:, None, None]
 
         def cfg_fwd(x_t, t):
-            # one 2B forward for the CFG pair; uncond half selected by
-            # text_mask=0 (exactly the reference's text=None skip — see
-            # sampling.sampler._fused_cfg_forward)
-            x2 = jnp.concatenate([x_t, x_t], axis=0)
-            t2 = jnp.concatenate([t, t], axis=0)
-            e2 = jnp.concatenate([text_emb, text_emb], axis=0)
-            m2 = jnp.concatenate([jnp.zeros((B,), x_t.dtype),
-                                  jnp.ones((B,), x_t.dtype)], axis=0)
-            pred2 = forward(params, x2, t2, e2, m2)
-            uncond, cond = pred2[:B], pred2[B:]
-            return uncond + scale * (cond - uncond)
+            return _fused_cfg_forward(denoiser, params, x_t, t, text_emb,
+                                      scale, forward)
 
         def vel(x_t, t_scalar):
             return cfg_fwd(x_t, jnp.full((B,), t_scalar, x_t0.dtype))
 
-        def flow_step(x_t, j):
-            return rf.euler(x_t, vel(x_t, j / total_step), dt), None
-
-        def heun_step(x_t, j):
-            t0 = j / total_step
-            v1 = vel(x_t, t0)
-            v2 = vel(rf.euler(x_t, v1, dt), t0 + dt)
-            return x_t + (0.5 * dt) * (v1 + v2), None
-
-        def midpoint_step(x_t, j):
-            t0 = j / total_step
-            v1 = vel(x_t, t0)
-            v2 = vel(rf.euler(x_t, v1, 0.5 * dt), t0 + 0.5 * dt)
-            return x_t + dt * v2, None
-
         def ddpm_step(x_t, j):
+            # ancestral noise from PER-SAMPLE keys (unlike the offline
+            # sampler's shared key): batch-composition independence
             t = jnp.full((B,), total_step - 1 - j, dtype=jnp.int32)
             pred = cfg_fwd(x_t, t)
             step_keys = jax.vmap(lambda k: jax.random.fold_in(k, j))(keys)
@@ -148,24 +117,16 @@ def make_serving_sampler(
             mean, var = ddpm_lib.p_sample_mean_var(sched, x_t, pred, t)
             return mean + jnp.sqrt(var) * eps, None
 
-        def ddim_body(x_t, tp):
-            # deterministic (eta=0): noise enters only at x_t0, so the
-            # batch-composition invariance holds trivially
-            t_cur, t_prev = tp
-            t = jnp.full((B,), t_cur, dtype=jnp.int32)
-            x_next = ddpm_lib.ddim_step(sched, x_t, cfg_fwd(x_t, t), t,
-                                        jnp.full((B,), t_prev, jnp.int32))
-            return x_next, None
-
         if backbone == "ddpm" and solver == "ddim":
             ts, prev = ddpm_lib.ddim_timesteps(
                 total_step, sample_steps or total_step)
-            body, xs = ddim_body, (jnp.asarray(ts), jnp.asarray(prev))
+            body = _ddim_scan_body(sched, cfg_fwd, B, collect=False)
+            xs = (jnp.asarray(ts), jnp.asarray(prev))
         elif backbone == "ddpm":
             body, xs = ddpm_step, jnp.arange(total_step)
         else:
-            body = {"euler": flow_step, "heun": heun_step,
-                    "midpoint": midpoint_step}[solver]
+            body = _flow_body(solver, vel, 1.0 / total_step, total_step,
+                              collect=False)
             xs = jnp.arange(total_step)
         x_t, _ = jax.lax.scan(body, x_t0, xs)
         series, _ = vae_model.apply(vae_params, x_t, out_length,

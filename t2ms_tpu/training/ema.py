@@ -17,11 +17,14 @@ A/B lands (BASELINE.md discipline: measured numbers only).
 from __future__ import annotations
 
 import functools
-from typing import Callable
+import os
+from typing import Callable, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 
-__all__ = ["make_ema_update", "ema_name", "prune_ema"]
+__all__ = ["make_ema_update", "ema_name", "prune_ema", "setup_cli_ema",
+           "save_cli_ema", "load_ema_for_inference"]
 
 
 def ema_name(step) -> str:
@@ -41,6 +44,48 @@ def prune_ema(directory: str, keep_steps, current: int) -> None:
         if m and int(m.group(1)) not in keep:
             shutil.rmtree(os.path.join(directory, entry),
                           ignore_errors=True)
+
+
+def setup_cli_ema(decay: float, params,
+                  checkpoint_path: str = "") -> Tuple:
+    """Training-CLI entry: returns ``(ema, update)`` or ``(None, None)``
+    when decay is 0/off. The shadow starts as a COPY of the live params
+    (the update donates the old EMA buffers, so aliasing the live
+    weights would delete them on the first update); on resume, a saved
+    ``{checkpoint_path}_ema`` tree takes precedence."""
+    if not decay:
+        return None, None
+    update = make_ema_update(decay)
+    ema = jax.tree_util.tree_map(jnp.copy, params)
+    path = checkpoint_path + "_ema" if checkpoint_path else ""
+    if path and os.path.isdir(path):
+        from t2ms_tpu.training import checkpoints as ckpt
+        ema = ckpt.load_params(path, ema)
+        print(f"Resumed EMA weights from {path}")
+    return ema, update
+
+
+def save_cli_ema(directory: str, ema, epoch: int, keep_steps) -> None:
+    """Persist the shadow next to ``model_{epoch}`` and prune trees the
+    checkpoint manager no longer retains."""
+    from t2ms_tpu.training import checkpoints as ckpt
+    ckpt.save_params(directory, ema, name=ema_name(epoch))
+    prune_ema(directory, keep_steps, epoch)
+
+
+def load_ema_for_inference(checkpoint_path: str, params_like):
+    """Infer-CLI entry for ``--use_ema``: load ``{checkpoint_path}_ema``
+    or fail loudly (sampling silently from live weights would defeat
+    the flag)."""
+    path = checkpoint_path + "_ema"
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"--use_ema: no EMA checkpoint at {path} (train with "
+            f"--ema_decay to produce one)")
+    from t2ms_tpu.training import checkpoints as ckpt
+    params = ckpt.load_params(path, params_like)
+    print(f"Loaded EMA weights from {path}")
+    return params
 
 
 def make_ema_update(decay: float) -> Callable:

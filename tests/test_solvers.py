@@ -118,6 +118,11 @@ def test_ddim_timestep_schedule():
     from t2ms_tpu.models.backbones.ddpm import ddim_timesteps
     ts, prev = ddim_timesteps(100, 4)
     assert ts[0] == 99 and prev[-1] == -1
+    # regression: a SINGLE step must denoise from t=T-1, not t=0
+    # (linspace(0, T-1, 1) returns the start point — the one-step
+    # "sample" would be the input noise)
+    ts1, p1 = ddim_timesteps(100, 1)
+    assert list(ts1) == [99] and list(p1) == [-1]
     assert list(prev[:-1]) == list(ts[1:])
     assert all(a > b for a, b in zip(ts[:-1], ts[1:]))
     with pytest.raises(ValueError):
