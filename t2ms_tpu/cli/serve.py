@@ -35,7 +35,7 @@ import numpy as np
 
 from t2ms_tpu.cli._common import build_denoiser, build_t2s_vae
 from t2ms_tpu.config import denoiser_ckpt_dir, t2s_pretrained_dir
-from t2ms_tpu.serving import ServingEngine
+from t2ms_tpu.serving import EngineOverloaded, ServingEngine
 from t2ms_tpu.training import checkpoints as ckpt
 
 
@@ -60,6 +60,10 @@ def get_args(argv=None):
                    help="comma-separated fixed batch sizes")
     p.add_argument("--max_wait_ms", type=float, default=20.0,
                    help="deadline before a non-full batch launches")
+    p.add_argument("--max_pending", type=int, default=4096,
+                   help="admission control: queued requests beyond this "
+                        "get HTTP 503 instead of growing host memory "
+                        "(0 = unbounded)")
     p.add_argument("--warmup", type=lambda s: s not in ("0", "False"),
                    default=True, help="compile all programs at startup")
     p.add_argument("--save_path", type=str,
@@ -163,6 +167,9 @@ class _Handler(BaseHTTPRequestHandler):
                 cfg_scale=req.get("cfg_scale"),
                 seed=req.get("seed"))
             r = fut.result(timeout=600.0)
+        except EngineOverloaded as e:
+            self._json(503, {"error": str(e)})
+            return
         except (KeyError, ValueError, TypeError,
                 json.JSONDecodeError) as e:
             self._json(400, {"error": str(e)})
@@ -201,7 +208,8 @@ def main(argv=None):
         out_lengths=buckets, batch_tiers=tiers,
         max_wait_ms=args.max_wait_ms, default_cfg_scale=args.cfg_scale,
         text_emb_dim=args.text_emb_dim,
-        scaling_plan=plan if plan.n_data > 1 else None)
+        scaling_plan=plan if plan.n_data > 1 else None,
+        max_pending=args.max_pending or None)
     if args.warmup:
         print(f"Warming up {len(buckets) * len(tiers)} programs...")
         engine.warmup()

@@ -51,7 +51,14 @@ from t2ms_tpu.sampling.sampler import (_ddim_scan_body, _flow_body,
                                        _fused_cfg_forward, _serving_forward,
                                        _validate_solver)
 
-__all__ = ["make_serving_sampler", "ServingEngine", "GenerationResult"]
+__all__ = ["make_serving_sampler", "ServingEngine", "GenerationResult",
+           "EngineOverloaded"]
+
+
+class EngineOverloaded(RuntimeError):
+    """Raised by submit() when the pending-request cap is reached —
+    admission control so a client flood degrades into fast rejections
+    (HTTP 503 in cli.serve) instead of unbounded host memory growth."""
 
 
 def make_serving_sampler(
@@ -188,6 +195,9 @@ class ServingEngine:
         dim is substituted per bucket); defaults to univariate ``(T,)``
         (reference T2S, dataloader.py:21-46). Pass ``(C, T)`` for
         multivariate/motion tracks.
+    max_pending
+        Admission-control cap on queued (not yet dispatched) requests;
+        ``submit`` raises EngineOverloaded beyond it (None = unbounded).
     """
 
     def __init__(self, denoiser, vae_model, params, vae_params, *,
@@ -199,7 +209,8 @@ class ServingEngine:
                  probe_shape: Optional[Tuple[int, ...]] = None,
                  default_cfg_scale: float = 7.0,
                  text_emb_dim: int = 128,
-                 scaling_plan=None):
+                 scaling_plan=None,
+                 max_pending: Optional[int] = None):
         if not out_lengths:
             raise ValueError("need at least one out_length bucket")
         tiers = sorted(set(int(b) for b in batch_tiers))
@@ -209,6 +220,7 @@ class ServingEngine:
         self._max_wait = max_wait_ms / 1e3
         self._default_cfg = float(default_cfg_scale)
         self._emb_dim = int(text_emb_dim)
+        self._max_pending = max_pending
         self._plan = scaling_plan
         if scaling_plan is not None and scaling_plan.n_data > 1:
             from t2ms_tpu.training.scaling import replicate_tree
@@ -272,6 +284,11 @@ class ServingEngine:
         with self._lock:
             if self._stop:
                 raise RuntimeError("engine is shut down")
+            if self._max_pending is not None and \
+                    sum(len(q) for q in self._queues.values()) \
+                    >= self._max_pending:
+                raise EngineOverloaded(
+                    f"{self._max_pending} requests already pending")
             if seed is None:
                 seed = self._seed_counter
                 self._seed_counter += 1

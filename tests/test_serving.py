@@ -258,3 +258,20 @@ def test_serving_sampler_ddim_rows_deterministic():
     np.testing.assert_allclose(solo[0], out[2], rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(out, np.asarray(s(dp, vp, seeds, cfg,
                                                     emb)))
+
+
+def test_engine_admission_control():
+    """max_pending caps the queue: excess submits raise EngineOverloaded
+    immediately; draining serves what was admitted."""
+    from t2ms_tpu.serving import EngineOverloaded
+    vae, vp, dit, dp, _ = _setup()
+    emb = np.zeros((32,), np.float32)
+    eng = _engine(vae, vp, dit, dp, batch_tiers=(4,),
+                  max_wait_ms=10_000.0, max_pending=2)
+    f1 = eng.submit(emb, 24)
+    f2 = eng.submit(emb, 24)
+    with pytest.raises(EngineOverloaded):
+        eng.submit(emb, 24)
+    eng.close(drain=True)
+    assert f1.result(timeout=1).series.shape[-1] == 24
+    assert f2.result(timeout=1).series.shape[-1] == 24
