@@ -4,6 +4,7 @@ surface. Runs an in-process ThreadingHTTPServer on an ephemeral port —
 purely loopback, no network."""
 
 import json
+import time
 import threading
 import urllib.error
 import urllib.request
@@ -129,3 +130,41 @@ def test_load_bundle_random_init(tmp_path, capsys):
     out = dit.apply(dp, z, jnp.zeros(1), jnp.zeros((1, 128)))
     assert out.shape == z.shape
     assert "WARNING" in capsys.readouterr().out
+
+
+def test_overload_returns_503():
+    """Admission control surfaces as HTTP 503 (engine queue full)."""
+    vae = LAVAE(in_channels=1, latent_grid=6, num_hiddens=16,
+                num_residual_hiddens=16, embedding_dim=8)
+    x = jax.random.normal(jax.random.key(0), (2, 24))
+    vp = vae.init(jax.random.key(1), x)
+    dit = DiT(latent_len=6, latent_dim=8, d_model=32, depth=1, num_heads=2)
+    z, _ = vae.apply(vp, x, method=vae.encode)
+    dp = dit.init(jax.random.key(2), z, jnp.zeros(2), jnp.zeros((2, 32)))
+    # tier 4 can never fill and the deadline is far: submits stay queued
+    engine = ServingEngine(dit, vae, dp, vp, total_step=2,
+                           out_lengths=(24,), batch_tiers=(4,),
+                           max_wait_ms=60_000.0, text_emb_dim=32,
+                           max_pending=1)
+    server = make_server(engine, "127.0.0.1", 0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        payload = dict(text_embedding=[0.0] * 32, out_length=24)
+        # first request parks in the queue on a server thread
+        first = threading.Thread(target=lambda: _post(url, payload),
+                                 daemon=True)
+        first.start()
+        deadline = time.monotonic() + 10
+        while engine.stats()["requests"] < 1:
+            assert time.monotonic() < deadline, "first request never queued"
+            time.sleep(0.01)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(url, payload)
+        assert e.value.code == 503
+    finally:
+        server.shutdown()
+        server.server_close()
+        engine.close()          # drains the parked request
+        first.join(timeout=30)
