@@ -8,7 +8,9 @@ set -u
 cd /root/repo
 
 probe() {
-  python - <<'EOF'
+  # a wedged tunnel HANGS at backend discovery (no error, 10+ min) —
+  # bound the probe; nothing has dispatched yet so the kill is safe
+  timeout 180 python - <<'EOF'
 import jax, numpy as np
 x = jax.numpy.ones((8, 8))
 print("probe ok", float(np.asarray(x.sum())))
@@ -37,21 +39,24 @@ done
 touch /tmp/tpu_ok
 echo "TUNNEL UP $(date -u +%H:%M:%S)"
 
-# 1. Headline bench (also measures the latent-cache train path).
+# 1. Headline bench (also measures the latent-cache train path). Quick.
 run_stage bench python bench.py
 
-# 2. C-FID gate re-baseline under the FIXED TS2Vec extractor, at the
+# 2. Fresh scaled-train profile (VERDICT r3 #3 follow-up: 48.0% MFU vs
+#    the >=55% target — find the next lever). Quick.
+run_stage profile_scaled python scripts/profile_program.py \
+  --what train --scaled --top 30
+
+# 3. C-FID gate re-baseline under the FIXED TS2Vec extractor, at the
 #    round-2 table's op-point geometry (8000 steps, sweep 1/3/5/7/10)
 #    so the stale BASELINE.md table can be REPLACED like-for-like.
 run_stage gate8k python scripts/quality_gate.py --steps 8000 \
   --eval_cfid --cfg_scale 5.0 --cfg_sweep 1,3,7,10
 
-# 3. EMA quality A/B partner for stage 2 (same seed, same steps; only
-#    the evaluated weights differ).
-run_stage gate8k_ema python scripts/quality_gate.py --steps 8000 \
-  --eval_cfid --cfg_scale 5.0 --ema_decay 0.999
+# 4. Online serving bench (round-4 subsystem; never measured on chip).
+run_stage serving python scripts/bench_serving.py
 
-# 4. Solver A/B: heun/25 (50 evals) vs the euler/100 baseline of stage 2,
+# 5. Solver A/B: heun/25 (50 evals) vs the euler/100 baseline,
 #    plus ddim/25 on the DDPM track.
 run_stage gate_heun python scripts/quality_gate.py --steps 1500 \
   --eval_cfid --cfg_scale 5.0 --solver heun --sample_steps 25
@@ -62,10 +67,12 @@ run_stage gate_ddim python scripts/quality_gate.py --steps 1500 \
 run_stage gate_ddpm_base python scripts/quality_gate.py --steps 1500 \
   --eval_cfid --cfg_scale 5.0 --backbone ddpm
 
-# 5. Online serving bench (round-4 subsystem; never measured on chip).
-run_stage serving python scripts/bench_serving.py
+# 6. EMA quality A/B partner for stage 3 (same seed, same steps; only
+#    the evaluated weights differ).
+run_stage gate8k_ema python scripts/quality_gate.py --steps 8000 \
+  --eval_cfid --cfg_scale 5.0 --ema_decay 0.999
 
-# 6. Deadlift step-allocation study (VERDICT r3 #6): target all-green at
+# 7. Deadlift step-allocation study (VERDICT r3 #6): target all-green at
 #    <=4500 steps. Even 4500, then weighted allocations, then the 3000
 #    diagnostic.
 run_stage dl_4500_even python scripts/quality_gate.py --track deadlift --steps 4500
