@@ -28,6 +28,11 @@ run_stage() {
   local rc=$?
   echo "RC=$rc" >> "$log"
   echo "=== STAGE $name done rc=$rc ($(date -u +%H:%M:%S)) ==="
+  # commit the evidence immediately: builder sessions die to API errors,
+  # the queue must not depend on one being alive to land results
+  git add "$log" && git commit -q -m "Record on-chip ${name} run (rc=$rc)
+
+No-Verification-Needed: measurement log only" || true
   touch /tmp/queue_stage_done
 }
 
