@@ -77,7 +77,7 @@ def bench_serve(B=16, steps=20):
             "params": n_par, "batch": B, "steps": steps}
 
 
-def bench_train(B=64, n_steps=8):
+def bench_train(B=64, n_steps=8, precoded=True):
     import optax
 
     from t2ms_tpu.training.trainer import (TrainState,
@@ -85,8 +85,16 @@ def bench_train(B=64, n_steps=8):
     dit, vae, x, emb, vp, dp, n_par = build(B)
     opt = optax.adamw(1e-4)
     st = TrainState(dp, opt.init(dp), jnp.zeros((), jnp.int32))
+    if precoded:
+        # The production CLIs cache the frozen-VAE latents out of the hot
+        # loop by default (--latent_cache, cli/train.py), so the canonical
+        # steady-state step takes latents directly. The round-4 profile
+        # measured the in-step conv encode at 17.6 ms of the 204.5 ms
+        # device step (8.6%) — time the old path spent on FLOPs the MFU
+        # accounting never counted. --encode_in_step restores the old A/B.
+        x, _ = vae.apply(vp, x, method=vae.encode)
     step = make_denoiser_train_step(dit, vae, opt, "flowmatching", 100,
-                                    donate=False)
+                                    donate=False, precoded=precoded)
     st, loss = step(st, vp, jax.random.key(4), x, emb)
     np.asarray(loss)
     # Steps chain through the TrainState carry, so async dispatch keeps
@@ -106,7 +114,8 @@ def bench_train(B=64, n_steps=8):
     return {"metric": "scaled_dit_train", "steps_per_sec":
             round(1 / dt, 2), "tflops": round(tf, 1),
             "mfu": round(tf / V5E_BF16_PEAK_TFLOPS, 3),
-            "params": n_par, "batch": B, "loss": float(loss)}
+            "params": n_par, "batch": B, "precoded": bool(precoded),
+            "loss": float(loss)}
 
 
 def main():
@@ -116,6 +125,10 @@ def main():
     ap.add_argument("--batch", type=int, default=64,
                     help="train batch (serve uses --serve_batch)")
     ap.add_argument("--serve_batch", type=int, default=16)
+    ap.add_argument("--encode_in_step", action="store_true",
+                    help="run the frozen-VAE encode inside the train step "
+                         "(the pre-latent-cache methodology) instead of "
+                         "feeding precomputed latents")
     args = ap.parse_args()
     modes = [m.strip() for m in args.modes.split(",") if m.strip()]
     bad = [m for m in modes if m not in ("train", "serve")]
@@ -126,7 +139,8 @@ def main():
         if mode == "serve":
             print(json.dumps(bench_serve(args.serve_batch)), flush=True)
         else:
-            print(json.dumps(bench_train(args.batch)), flush=True)
+            print(json.dumps(bench_train(
+                args.batch, precoded=not args.encode_in_step)), flush=True)
 
 
 if __name__ == "__main__":
