@@ -239,6 +239,48 @@ def main():
     if want_run("mod_ln_long"):
         _modln_case("4096_d128", 15, 2, 4096, 128)
 
+    # --- fused gated-residual + LN + modulate (block-boundary VJP) ---
+    def _resln_case(name, seed, B, N, D):
+        assert DB.res_mod_ln_block_q(N, D, 2), "res_mod_ln envelope regressed"
+        ks = jax.random.split(jax.random.key(seed), 5)
+        x = jax.random.normal(ks[0], (B, N, D), dt)
+        h = jax.random.normal(ks[1], (B, N, D), dt)
+        gm3 = jax.random.normal(ks[2], (B, 3, D), dt) * 0.3
+        go = jax.random.normal(ks[3], (B, N, D), dt)
+        gy = jax.random.normal(ks[4], (B, N, D), dt)
+
+        def oracle(x, h, m):
+            y = x + m[:, 0][:, None] * h
+            yf = y.astype(jnp.float32)
+            mu = jnp.mean(yf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(yf - mu), axis=-1, keepdims=True)
+            n = (yf - mu) * jax.lax.rsqrt(var + 1e-6)
+            return (n * (1.0 + m[:, 2][:, None].astype(jnp.float32))
+                    + m[:, 1][:, None].astype(jnp.float32)), yf
+
+        got, ms = _timed(
+            jax.jit(lambda a, b, c: DB.res_mod_ln_diffable(a, b, c)),
+            x, h, gm3)
+        _check(f"res_mod_ln_fwd_{name}", got, oracle(x, h, gm3),
+               results, ms)
+
+        def fused_grads(x, h, m, go, gy):
+            _, vjp = jax.vjp(
+                lambda a, b, c: DB.res_mod_ln_diffable(a, b, c), x, h, m)
+            return vjp((go, gy))
+
+        _, ovjp = jax.vjp(oracle, x.astype(jnp.float32),
+                          h.astype(jnp.float32), gm3.astype(jnp.float32))
+        got, ms = _timed(jax.jit(fused_grads), x, h, gm3, go, gy)
+        _check(f"res_mod_ln_bwd_{name}", got,
+               ovjp((go.astype(jnp.float32), gy.astype(jnp.float32))),
+               results, ms)
+
+    if want_run("res_mod_ln_scaled"):
+        _resln_case("1024_d512", 16, 4, 1024, 512)
+    if want_run("res_mod_ln_long"):
+        _resln_case("4096_d128", 17, 2, 4096, 128)
+
     # --- fused DiT block + stack at the serving geometry ---
     if want_run("dit"):
         B, N, D, hidden, L = 8, 480, 128, 256, 4

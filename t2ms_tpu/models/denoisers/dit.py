@@ -159,16 +159,75 @@ def _make_mod_ln(block: "DiTBlock", n: int, d: int):
     return lambda y, sh, sc: _modulate(ln(y), sh, sc)
 
 
+# Flipped to True once the kernel passes scripts/kernel_smoke.py at its
+# largest geometries on the real chip (CLAUDE.md calibration rule) and
+# the scaled-train bench A/B confirms the win. Until then TPU use is
+# opt-in via T2MS_FUSED_RES_LN=1.
+_RES_LN_DEFAULT_ON = False
+
+
+def _res_mod_ln_enabled(compute_dtype, attention_impl: str, n: int,
+                        d: int) -> bool:
+    """Gate for the fused gated-residual + LN + modulate custom-VJP kernel
+    (ops.dit_block.res_mod_ln_diffable): same contract as _make_mod_ln —
+    attention_impl != 'auto' opts out (explicit impls are oracle/A-B
+    runs); T2MS_FUSED_RES_LN=0 force-disables, =1 force-enables (interpret
+    mode on CPU — tests); otherwise TPU + envelope fit when the default is
+    on."""
+    import os
+    flag = os.environ.get("T2MS_FUSED_RES_LN", "")
+    if flag == "0" or attention_impl != "auto":
+        return False
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if not on_tpu:
+        return flag == "1"
+    if flag != "1" and not _RES_LN_DEFAULT_ON:
+        return False
+    from t2ms_tpu.ops.dit_block import res_mod_ln_block_q
+    bpe = jnp.dtype(compute_dtype).itemsize
+    return bool(res_mod_ln_block_q(n, d, bpe))
+
+
+def _make_res_mod_ln(block: "DiTBlock", n: int, d: int):
+    """The fused boundary op as a callable, or None when the gate says
+    keep the eager residual + modln composition. Round-4 motivation: the
+    scaled-train profile's ~15 ms/step of XLA block-boundary glue
+    (gated-residual multiply_adds, dgate multiply_reduces, copies) —
+    see ops.dit_block.res_mod_ln_diffable."""
+    if not _res_mod_ln_enabled(block.compute_dtype, block.attention_impl,
+                               n, d):
+        return None
+    from t2ms_tpu.ops.dit_block import res_mod_ln_diffable
+    interp = jax.default_backend() in ("cpu",)
+
+    def apply(x, h, gate, sh, sc):
+        out, y = res_mod_ln_diffable(
+            x, h, jnp.stack([gate, sh, sc], axis=1), 1e-6, 0, interp)
+        return out, y
+
+    return apply
+
+
 class DiTBlock(nn.Module):
-    """adaLN-zero transformer block (transformer.py:94-124)."""
+    """adaLN-zero transformer block (transformer.py:94-124).
+
+    ``defer_residual`` (DiT's internal fused-boundary mode): the trailing
+    gated MLP residual is NOT applied here — the block returns
+    ``(stream, mlp_out, gate_mlp)`` and the caller either fuses the
+    pending triple into the NEXT block's leading LN+modulate (one Pallas
+    program instead of an XLA residual fusion + a separate LN kernel —
+    see ops.dit_block.res_mod_ln_diffable) or applies it eagerly. The
+    plain ``__call__(x, c)`` contract (pp.py stages, tests) and the param
+    tree are unchanged."""
     d_model: int
     num_heads: int
     mlp_ratio: float
     compute_dtype: jnp.dtype = jnp.float32
     attention_impl: str = "auto"
+    defer_residual: bool = False
 
     @nn.compact
-    def __call__(self, x, c):
+    def __call__(self, x, c, pending=None):
         mod = nn.Dense(6 * self.d_model,
                        kernel_init=nn.initializers.zeros,
                        bias_init=nn.initializers.zeros,
@@ -176,14 +235,30 @@ class DiTBlock(nn.Module):
                        name="adaLN_modulation")(nn.silu(c))
         sh_a, sc_a, g_a, sh_m, sc_m, g_m = jnp.split(mod, 6, axis=-1)
         modln = _make_mod_ln(self, x.shape[1], x.shape[2])
-        x = x + g_a[:, None, :] * _Attention(
+        resln = _make_res_mod_ln(self, x.shape[1], x.shape[2])
+        if pending is not None:
+            br, gp = pending       # previous block's (mlp_out, gate_mlp)
+            if resln is not None:
+                z, x = resln(x, br, gp, sh_a, sc_a)
+            else:
+                x = x + gp[:, None, :] * br
+                z = modln(x, sh_a, sc_a)
+        else:
+            z = modln(x, sh_a, sc_a)
+        attn_out = _Attention(
             self.d_model, self.num_heads, self.compute_dtype,
-            self.attention_impl,
-            name="attn")(modln(x, sh_a, sc_a))
-        x = x + g_m[:, None, :] * _Mlp(
+            self.attention_impl, name="attn")(z)
+        if resln is not None:
+            z2, x = resln(x, attn_out, g_a, sh_m, sc_m)
+        else:
+            x = x + g_a[:, None, :] * attn_out
+            z2 = modln(x, sh_m, sc_m)
+        mlp_out = _Mlp(
             self.d_model, int(self.d_model * self.mlp_ratio),
-            self.compute_dtype, name="mlp")(modln(x, sh_m, sc_m))
-        return x
+            self.compute_dtype, name="mlp")(z2)
+        if self.defer_residual:
+            return x, mlp_out, g_m
+        return x + g_m[:, None, :] * mlp_out
 
 
 class DiT(nn.Module):
@@ -243,10 +318,24 @@ class DiT(nn.Module):
                 te = te * text_mask[:, None].astype(dtype)
             c = c + te
 
+        # fused block boundaries: when the res_mod_ln kernel is engaged,
+        # each trailing gated residual defers into the next block's
+        # leading LN+modulate Pallas program (the final one feeds the
+        # affine final_ln, so it stays eager — 1 of 2*depth boundaries)
+        fuse = _res_mod_ln_enabled(dtype, self.attention_impl, pc,
+                                   self.d_model)
+        pending = None
         for i in range(self.depth):
-            h = DiTBlock(self.d_model, self.num_heads, self.mlp_ratio,
-                         dtype, self.attention_impl,
-                         name=f"block_{i}")(h, c)
+            blk = DiTBlock(self.d_model, self.num_heads, self.mlp_ratio,
+                           dtype, self.attention_impl,
+                           defer_residual=fuse, name=f"block_{i}")
+            if fuse:
+                h, br, g = blk(h, c, pending)
+                pending = (br, g)
+            else:
+                h = blk(h, c)
+        if fuse:
+            h = h + pending[1][:, None, :] * pending[0]
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=dtype, name="final_ln")(h)
         h = nn.Dense(p * p, kernel_init=_xavier(), dtype=dtype,

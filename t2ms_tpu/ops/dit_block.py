@@ -38,7 +38,8 @@ from t2ms_tpu.ops.attention import attn_heads_folded, attn_heads_natural
 __all__ = ["fused_dit_block", "fused_dit_stack", "dit_block_reference",
            "fused_dit_block_diffable", "block_vjp_supported",
            "fused_dit_block_split", "split_block_q",
-           "mod_ln_diffable", "mod_ln_block_q"]
+           "mod_ln_diffable", "mod_ln_block_q",
+           "res_mod_ln_diffable", "res_mod_ln_block_q"]
 
 
 def _ln(x, eps):
@@ -645,6 +646,157 @@ def _mod_ln_diff_bwd(eps, block_q, interpret, res, dy):
 
 
 mod_ln_diffable.defvjp(_mod_ln_diff_fwd, _mod_ln_diff_bwd)
+
+
+# --------------------------------------------------------------------------
+# Fused gated-residual + LN + modulate (the DiT block BOUNDARY op)
+# --------------------------------------------------------------------------
+
+def _res_mod_ln(x, h, g, sh, sc, eps):
+    """y = x + g*h (the adaLN-zero gated residual, compute dtype — matches
+    the eager path and _attn_proj_residual exactly), then LN+modulate.
+    Returns (modulated, y): the residual stream y continues downstream."""
+    y = x + g.astype(x.dtype) * h
+    return _mod_ln(y, sh, sc, eps), y
+
+
+def _res_mod_ln_fwd_kernel(x_ref, h_ref, gm_ref, o_ref, y_ref, *,
+                           eps: float):
+    out, y = _res_mod_ln(x_ref[0], h_ref[0], gm_ref[0, 0][None, :],
+                         gm_ref[0, 1][None, :], gm_ref[0, 2][None, :], eps)
+    o_ref[0] = out
+    y_ref[0] = y
+
+
+def _res_mod_ln_bwd_kernel(x_ref, h_ref, gm_ref, do_ref, dy_ref,
+                           dx_ref, dh_ref, dgm_ref, acc, *, eps: float):
+    """VJP of residual+gate+LN+modulate for one q row-block, same recipe
+    as _mod_ln_bwd_kernel: ``jax.vjp`` over the shared forward runs inside
+    the kernel; the per-sample (gate, shift, scale) grads are row-sums, so
+    they accumulate across the q-block grid axis in f32 scratch and flush
+    at the last block. BOTH outputs carry cotangents (the modulated path
+    feeds qkv/MLP, the stream feeds the next residual)."""
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+    (out, y), vjp = jax.vjp(
+        lambda xb, hb, g, sh, sc: _res_mod_ln(xb, hb, g, sh, sc, eps),
+        x_ref[0], h_ref[0], gm_ref[0, 0][None, :],
+        gm_ref[0, 1][None, :], gm_ref[0, 2][None, :])
+    dx, dh, dg, dsh, dsc = vjp((do_ref[0].astype(out.dtype),
+                                dy_ref[0].astype(y.dtype)))
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dh_ref[0] = dh.astype(dh_ref.dtype)
+
+    @pl.when(i == 0)
+    def _zero():
+        acc[...] = jnp.zeros_like(acc)
+
+    acc[0, :] += dg[0].astype(jnp.float32)
+    acc[1, :] += dsh[0].astype(jnp.float32)
+    acc[2, :] += dsc[0].astype(jnp.float32)
+
+    @pl.when(i == ni - 1)
+    def _flush():
+        dgm_ref[0] = acc[...].astype(dgm_ref.dtype)
+
+
+def res_mod_ln_block_q(n: int, d: int, bpe: int = 2) -> int:
+    """q row-block for the fused residual+LN+modulate custom-VJP kernels
+    (0 = geometry unsupported -> callers keep the eager residual + the
+    mod_ln/LayerNorm path). Live set per row, bwd (the fat one): SIX
+    (1, bq, D) grid block refs (x/h/do/dy in, dx/dh out), double-buffered
+    per the measured Mosaic rule (see _bwd_block_q), plus ~10 f32
+    row-copies for the residual+LN vjp internals ≈ ``12*bpe + 40``
+    bytes/elem; budgeted at 11 MB (~30% headroom under the 16 MB scoped
+    limit). Row-local math, so any row-blocking is exact."""
+    if n % 8 != 0 or n < 8 or d % 128 != 0:
+        return 0
+    per_row = d * (12 * bpe + 40)
+    for bq in (n, 1024, 512, 256, 128):
+        if bq <= n and n % bq == 0 and bq * per_row < 11 * 2 ** 20:
+            return bq
+    return 0
+
+
+def _res_mod_ln_call(x, h, gm3, eps, block_q, interpret):
+    B, N, D = x.shape
+    bq = block_q or res_mod_ln_block_q(N, D, jnp.dtype(x.dtype).itemsize)
+    if not bq:
+        if interpret:          # CPU tests exercise the kernel math at
+            bq = N             # tiny (lane-unaligned) shapes
+        else:
+            raise ValueError(f"res_mod_ln kernel unsupported at N={N}, "
+                             f"D={D}")
+    if N % bq:
+        raise ValueError(f"block_q {bq} must divide N={N}")
+    blk = pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0))
+    gblk = pl.BlockSpec((1, 3, D), lambda b, i: (b, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_res_mod_ln_fwd_kernel, eps=eps),
+        out_shape=[jax.ShapeDtypeStruct((B, N, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, N, D), x.dtype)],
+        grid=(B, N // bq),
+        in_specs=[blk, blk, gblk],
+        out_specs=[blk, blk],
+        interpret=interpret,
+    )(x, h, gm3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def res_mod_ln_diffable(x, h, gm3, eps=1e-6, block_q=0, interpret=False):
+    """Fused adaLN-zero block boundary with Pallas forward AND backward:
+    gated residual ``y = x + gate*h`` then parameter-free LN + modulate —
+    x/h (B, N, D), gm3 (B, 3, D) = [gate, shift, scale] ->
+    (modulated (B, N, D), y (B, N, D)).
+
+    Why: after mod_ln_diffable the round-4 scaled-train profile
+    (B=64, d_model=512, N=1024, bf16; 204.5 ms device step) still shows
+    ~15 ms/step of XLA elementwise glue at the block boundaries — the
+    gated-residual multiply_add fusions (4.8 ms), the per-sample
+    dgate multiply_reduce fusions (6.6 ms) and the copies between them —
+    each a full HBM round-trip of the (B, N, D) activation. This kernel
+    does residual + LN + modulate in ONE read of (x, h) and one write of
+    (out, y) per direction; the per-sample gate/shift/scale grads
+    accumulate in VMEM scratch across the row grid. Numerics recipe is
+    the shared ``_mod_ln`` (identical to mod_ln_diffable and the serving
+    kernels); the residual add matches the eager path's compute dtype.
+    Reference block semantics: transformer.py:7-8,94-124 (modulate +
+    gated residuals, norms without elementwise affine)."""
+    return _res_mod_ln_call(x, h, gm3, eps, block_q, interpret)
+
+
+def _res_mod_ln_diff_fwd(x, h, gm3, eps, block_q, interpret):
+    return _res_mod_ln_call(x, h, gm3, eps, block_q, interpret), (x, h, gm3)
+
+
+def _res_mod_ln_diff_bwd(eps, block_q, interpret, res, cts):
+    x, h, gm3 = res
+    do, dy = cts
+    B, N, D = x.shape
+    bq = block_q or res_mod_ln_block_q(N, D, jnp.dtype(x.dtype).itemsize)
+    if not bq:
+        if interpret:
+            bq = N
+        else:
+            raise ValueError(f"res_mod_ln kernel unsupported at N={N}, "
+                             f"D={D}")
+    blk = pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0))
+    gblk = pl.BlockSpec((1, 3, D), lambda b, i: (b, 0, 0))
+    dx, dh, dgm = pl.pallas_call(
+        functools.partial(_res_mod_ln_bwd_kernel, eps=eps),
+        out_shape=[jax.ShapeDtypeStruct((B, N, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, N, D), h.dtype),
+                   jax.ShapeDtypeStruct((B, 3, D), gm3.dtype)],
+        grid=(B, N // bq),
+        in_specs=[blk, blk, gblk, blk, blk],
+        out_specs=[blk, blk, gblk],
+        scratch_shapes=[pltpu.VMEM((3, D), jnp.float32)],
+        interpret=interpret,
+    )(x, h, gm3, do, dy)
+    return dx, dh, dgm
+
+
+res_mod_ln_diffable.defvjp(_res_mod_ln_diff_fwd, _res_mod_ln_diff_bwd)
 
 
 def dit_block_reference(x, mod, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2,
