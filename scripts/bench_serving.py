@@ -57,6 +57,13 @@ def main():
     p.add_argument("--trickle", type=int, default=20,
                    help="idle-engine single requests for the p50")
     p.add_argument("--total_step", type=int, default=100)
+    p.add_argument("--max_wait_ms", type=float, default=5.0,
+                   help="engine batch deadline. The first on-chip run "
+                        "(clients=64, 5 ms) measured 55% padding: the "
+                        "deadline fires long before blocking clients can "
+                        "refill a tier-sized group. Size clients to the "
+                        "largest tier and the deadline to ~10% of a "
+                        "batch's service time for a saturation number.")
     args = p.parse_args()
 
     from t2ms_tpu.serving import ServingEngine
@@ -64,7 +71,7 @@ def main():
     tiers = [int(t) for t in args.tiers.split(",")]
     eng = ServingEngine(dit, vae, d_params, vae_params,
                         total_step=args.total_step, out_lengths=(96,),
-                        batch_tiers=tiers, max_wait_ms=5.0,
+                        batch_tiers=tiers, max_wait_ms=args.max_wait_ms,
                         text_emb_dim=128)
     print(f"# warmup: compiling {len(tiers)} programs...", flush=True)
     t0 = time.perf_counter()
