@@ -374,26 +374,46 @@ class ServingEngine:
                         r.future.set_exception(e)
 
     def _wait_budget(self) -> Optional[float]:
-        """Sleep until the oldest pending request's deadline."""
+        """Sleep until the oldest pending request's deadline — or, when
+        that deadline has already passed but the batch is being HELD
+        because the device pipeline is full (see _pick_batch), sleep
+        until the completer frees a slot and notifies."""
         oldest = None
         for q in self._queues.values():
             if q and (oldest is None or q[0].submit_t < oldest):
                 oldest = q[0].submit_t
         if oldest is None:
             return None
-        return max(1e-4, oldest + self._max_wait - time.monotonic())
+        rem = oldest + self._max_wait - time.monotonic()
+        if rem <= 0:
+            return None               # held on a full pipeline: wait for
+        return rem                    # the completer's notify
 
     def _pick_batch(self):
         """Under the lock: choose the bucket whose batch should launch —
         any full tier immediately, else the oldest expired deadline, else
-        (when draining) anything left."""
+        (when draining) anything left.
+
+        Saturation rule (round-4 on-chip serving bench: 64 blocking
+        clients against a 5 ms deadline fragmented batches to 55%
+        padding): the deadline only exists so the DEVICE never idles
+        waiting for a fuller batch. When the in-flight pipeline is
+        already full, dispatching early gains nothing — the batch would
+        sit in the queue anyway — so a deadline-expired group is HELD
+        and keeps aggregating toward a full tier until the completer
+        frees a slot (it notifies the lock). Full tiers still dispatch
+        immediately (natural backpressure in _launch), and an idle
+        pipeline keeps the deadline semantics, so trickle latency is
+        unchanged."""
         now = time.monotonic()
+        pipeline_full = self._inflight.full()
         best = None
         for L, q in self._queues.items():
             if not q:
                 continue
             full = len(q) >= self._tiers[-1]
-            expired = (now - q[0].submit_t) >= self._max_wait
+            expired = ((now - q[0].submit_t) >= self._max_wait
+                       and not pipeline_full)
             if full or expired or self._stop:
                 age = now - q[0].submit_t
                 if best is None or age > best[1]:
@@ -426,6 +446,10 @@ class ServingEngine:
         futures. Runs until the dispatcher's shutdown sentinel."""
         while True:
             item = self._inflight.get()
+            with self._lock:
+                # a pipeline slot just freed: wake the dispatcher in case
+                # it is holding a deadline-expired batch (see _pick_batch)
+                self._lock.notify_all()
             if item is None:
                 return
             L, tier, reqs, out = item

@@ -275,3 +275,68 @@ def test_engine_admission_control():
     eng.close(drain=True)
     assert f1.result(timeout=1).series.shape[-1] == 24
     assert f2.result(timeout=1).series.shape[-1] == 24
+
+
+def test_engine_holds_expired_batch_when_pipeline_full():
+    """Saturation rule (round-4 serving bench: a hot deadline fragmented
+    batches to 55% padding): a deadline-expired group must be HELD while
+    the in-flight pipeline is full — it keeps aggregating and dispatches
+    as ONE larger batch once the completer frees a slot."""
+    import threading
+    import time as _time
+
+    vae, vp, dit, dp, _ = _setup()
+    emb = np.zeros((32,), np.float32)
+
+    release = threading.Event()
+
+    class _SlowArray:
+        """Host-sync blocker: np.asarray() blocks until release is set."""
+
+        def __init__(self, n):
+            self._n = n
+
+        def __array__(self, dtype=None, copy=None):
+            release.wait(timeout=60)
+            a = np.zeros((self._n, 24), np.float32)
+            return a if dtype is None else a.astype(dtype)
+
+    def fake_sampler(params, vae_params, seeds, cfg, e):
+        return _SlowArray(len(np.asarray(seeds)))
+
+    # deadline 0 = every request is instantly expired: without the hold
+    # rule each would dispatch alone at tier 1
+    with _engine(vae, vp, dit, dp, max_wait_ms=0.0) as eng:
+        eng._samplers = {k: fake_sampler for k in eng._samplers}
+        # fill the pipeline: b1 is host-syncing in the completer (blocked
+        # in __array__), b2 and b3 occupy the maxsize-2 inflight queue.
+        # Submit ONE at a time (waiting for pickup) so they cannot
+        # coalesce into fewer batches.
+        first = []
+        for i in range(3):
+            first.append(eng.submit(emb, 24, seed=i))
+            deadline = _time.monotonic() + 10
+            while _time.monotonic() < deadline:
+                with eng._lock:
+                    drained = all(not q for q in eng._queues.values())
+                if drained:
+                    break
+                _time.sleep(0.01)
+        deadline = _time.monotonic() + 10
+        while not eng._inflight.full() and _time.monotonic() < deadline:
+            _time.sleep(0.01)
+        assert eng._inflight.full(), "pipeline never filled"
+
+        held = [eng.submit(emb, 24, seed=10 + i) for i in range(3)]
+        _time.sleep(0.3)   # deadline long expired; the hold must keep
+        with eng._lock:    # all 3 queued, aggregating
+            assert sum(len(q) for q in eng._queues.values()) == 3
+
+        release.set()
+        results = [f.result(timeout=60) for f in held]
+        for f in first:
+            f.result(timeout=60)
+    # the held trio must have served together as one batch (tier 4 with
+    # one padding row on tiers (1,2,4))
+    assert [r.batched_with for r in results] == [3, 3, 3]
+    assert [r.batch_size for r in results] == [4, 4, 4]
