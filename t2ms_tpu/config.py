@@ -30,6 +30,23 @@ def env_flag(name: str) -> bool:
         "", "0", "false", "no", "off")
 
 
+def _host_fingerprint() -> str:
+    """Short digest of the host CPU identity (arch + feature flags) for
+    the compilation-cache path — see enable_persistent_compilation_cache."""
+    import hashlib
+    import platform
+    bits = platform.machine()
+    try:
+        with open("/proc/cpuinfo", encoding="utf-8") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    bits += " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(bits.encode()).hexdigest()[:10]
+
+
 def enable_persistent_compilation_cache() -> Optional[str]:
     """Turn on JAX's persistent XLA compilation cache (compile each
     program once per MACHINE, not once per process).
@@ -48,9 +65,17 @@ def enable_persistent_compilation_cache() -> Optional[str]:
     optimization, not a dependency)."""
     if env_flag("T2MS_NO_COMPILE_CACHE"):
         return None
-    path = os.environ.get(
-        "T2MS_COMPILE_CACHE_DIR",
-        os.path.expanduser("~/.cache/t2ms_tpu/xla_cache"))
+    path = os.environ.get("T2MS_COMPILE_CACHE_DIR")
+    if path is None:
+        # Host-CPU fingerprint in the path: cached executables are
+        # machine code, and this VM's disk survives migrations/reboots
+        # onto hosts with different CPU features — a cache written on
+        # one host reloading on another is a SIGILL hazard (observed
+        # twice: cpu_aot_loader feature-mismatch errors from pre-reboot
+        # entries, 2026-08-19). A host change now simply starts a fresh
+        # cache dir. Explicit T2MS_COMPILE_CACHE_DIR is used verbatim.
+        path = os.path.expanduser(
+            f"~/.cache/t2ms_tpu/xla_cache-{_host_fingerprint()}")
     try:
         import jax
         os.makedirs(path, exist_ok=True)
