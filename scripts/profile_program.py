@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_train(batch, scaled=False):
+def build_train(batch, scaled=False, precoded=False):
     import optax
 
     from t2ms_tpu.models.denoisers import DiT
@@ -54,7 +54,11 @@ def build_train(batch, scaled=False):
     opt = optax.adamw(1e-4)
     st = TrainState(dp, opt.init(dp), jnp.zeros((), jnp.int32))
     step = make_denoiser_train_step(dit, vae, opt, "flowmatching", 100,
-                                    donate=False)
+                                    donate=False, precoded=precoded)
+    if precoded:
+        # the latent-cache methodology (bench_scaled default): x is
+        # already the frozen-VAE latent
+        x, _ = vae.apply(vp, x, method=vae.encode)
 
     def run(n):
         nonlocal st
@@ -111,11 +115,16 @@ def main():
     ap.add_argument("--scaled", action="store_true",
                     help="56.7M-param geometry (d=512, depth 12, heads 8, "
                          "mlp x4; default batch 64) instead of reference")
+    ap.add_argument("--precoded", action="store_true",
+                    help="train: profile the latent-cache step (x already "
+                         "encoded, the bench_scaled/CLI default) instead "
+                         "of the encode-in-step path")
     args = ap.parse_args()
 
     if args.what == "train":
         run, lowered = build_train(args.batch or (64 if args.scaled
-                                                  else 1024), args.scaled)
+                                                  else 1024), args.scaled,
+                                   args.precoded)
     else:
         run, lowered = build_sample(args.batch or (16 if args.scaled
                                                    else 256),
