@@ -159,11 +159,13 @@ def _make_mod_ln(block: "DiTBlock", n: int, d: int):
     return lambda y, sh, sc: _modulate(ln(y), sh, sc)
 
 
-# Flipped to True once the kernel passes scripts/kernel_smoke.py at its
-# largest geometries on the real chip (CLAUDE.md calibration rule) and
-# the scaled-train bench A/B confirms the win. Until then TPU use is
-# opt-in via T2MS_FUSED_RES_LN=1.
-_RES_LN_DEFAULT_ON = False
+# Flipped True 2026-08-19: kernel_smoke 4/4 green at the largest
+# geometries (.onchip_r04_resln_smoke.log, corr>=0.999995 at 1024/d512
+# and 4096/d128) and the scaled-train A/B confirmed the win (49.0% MFU
+# with the kernel vs 48.0% mod_ln-only vs 46.7% eager —
+# .onchip_r04_scaled_resln.log). T2MS_FUSED_RES_LN=0 still
+# force-disables for oracle runs.
+_RES_LN_DEFAULT_ON = True
 
 
 def _res_mod_ln_enabled(compute_dtype, attention_impl: str, n: int,
