@@ -204,6 +204,38 @@ def main():
         _check(f"scaled_bwd_grouped_g{hg[0]}_bq{hg[1]}", got,
                bwd_oracle8(q, k, v, g), results, ms)
 
+    if want_run("stats_fwd"):
+        # lean-path forward: primal + per-row log-sum-exp residual
+        assert A.fused_heads_block_q(1024, 512, 2), "envelope regressed"
+        q, k, v, _ = _nat(18, 2, 1024, 512, dt)
+        f32 = lambda x: x.astype(jnp.float32)
+        want_o = A._einsum_natural(f32(q), f32(k), f32(v), 8)
+        B, N, HD, H = q.shape[0], 1024, 512, 8
+        D = HD // H
+        split = lambda x: f32(x).reshape(B, N, H, D).transpose(0, 2, 1, 3)
+        s = jnp.einsum("bhqd,bhkd->bhqk", split(q) * D ** -0.5, split(k))
+        want_lse = jax.nn.logsumexp(s, axis=-1).transpose(0, 2, 1)
+        got, ms = _timed(jax.jit(
+            lambda a, b, c: A.fused_heads_attention_with_stats(a, b, c, 8)),
+            q, k, v)
+        _check("stats_fwd_1024_hd512", got, (want_o, want_lse), results, ms)
+
+    if want_run("lean_bwd"):
+        # lean backward at its auto-dispatched scaled config: p rebuilt
+        # as exp(s - lse), softmax row term from g.o — 4 fewer VPU passes
+        # per score tile than the recompute kernels
+        grp = A._bwd_lean_groups(1024, 512, 8, 2)
+        assert grp, "lean envelope regressed"
+        q, k, v, g = _nat(19, 2, 1024, 512, dt)
+        o, lse = jax.jit(
+            lambda a, b, c: A.fused_heads_attention_with_stats(a, b, c, 8)
+        )(q, k, v)
+        got, ms = _timed(jax.jit(
+            lambda *a: A.fused_heads_attention_bwd_lean(*a, 8)),
+            q, k, v, g, o, lse)
+        _check(f"lean_bwd_g{grp[0]}_bq{grp[1]}", got,
+               bwd_oracle8(q, k, v, g), results, ms)
+
     # --- fused LN+modulate custom-VJP: scaled-train + long-series ---
     def _modln_case(name, seed, B, N, D):
         assert DB.mod_ln_block_q(N, D, 2), "mod_ln envelope regressed"

@@ -14,6 +14,7 @@ non-TPU backends, flash for long sequences on TPU (threshold overridable).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -22,7 +23,9 @@ from jax.experimental import pallas as pl
 
 __all__ = ["attention", "einsum_attention", "flash_attention",
            "packed_attention", "fused_heads_attention",
+           "fused_heads_attention_with_stats",
            "fused_heads_diffable", "fused_heads_attention_bwd",
+           "fused_heads_attention_bwd_lean",
            "fused_heads_attention_bwd_two_pass"]
 
 
@@ -246,11 +249,14 @@ def _fused_heads_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int,
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
-def attn_heads_natural(q_all, k_all, v_all, num_heads: int, scale: float):
+def attn_heads_natural(q_all, k_all, v_all, num_heads: int, scale: float,
+                       with_stats: bool = False):
     """Per-head attention on natural (N, H*D) VALUES — the shared core of
     the fused kernels. Yields (head, lane_slice, out_f32) so callers place
-    results in their own layout. See _fused_heads_kernel for the why of
-    each precision choice."""
+    results in their own layout; with ``with_stats`` additionally yields
+    the per-row log-sum-exp lse = m + log r (f32), the residual the LEAN
+    backward kernel reuses to skip its softmax reductions. See
+    _fused_heads_kernel for the why of each precision choice."""
     H = num_heads
     D = q_all.shape[-1] // H
     for h in range(H):
@@ -272,7 +278,10 @@ def attn_heads_natural(q_all, k_all, v_all, num_heads: int, scale: float):
         o = jax.lax.dot_general(
             e, v, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        yield h, sl, o / r[:, None]
+        if with_stats:
+            yield h, sl, o / r[:, None], m[:, 0] + jnp.log(r)
+        else:
+            yield h, sl, o / r[:, None]
 
 
 def attn_heads_folded(q_all, k_all, v_all, num_heads: int, scale: float):
@@ -422,6 +431,65 @@ def _einsum_natural(q, k, v, num_heads, scale=None):
 
     y = einsum_attention(split(q), split(k), split(v), scale)
     return y.transpose(0, 2, 1, 3).reshape(B, N, HD)
+
+
+def _fused_heads_stats_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                              num_heads: int, scale: float):
+    """Forward kernel that ALSO emits the per-row softmax log-sum-exp
+    (lse = row_max + log exp_row_sum, f32): identical attention math to
+    _fused_heads_kernel, one extra tiny (block_q, H) write. Saved as a
+    custom-VJP residual so the lean backward reconstructs the normalized
+    probabilities as exp(s - lse) in ONE VPU pass — no max reduce, no sum
+    reduce, no divide (see _bwd_lean_kernel)."""
+    cols = []
+    for h, sl, o, lse in attn_heads_natural(q_ref[0], k_ref[0], v_ref[0],
+                                            num_heads, scale,
+                                            with_stats=True):
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+        cols.append(lse)
+    lse_ref[0] = jnp.stack(cols, axis=-1)                # (block_q, H)
+
+
+def fused_heads_attention_with_stats(q: jnp.ndarray, k: jnp.ndarray,
+                                     v: jnp.ndarray, num_heads: int,
+                                     scale: Optional[float] = None,
+                                     block_q: Optional[int] = None,
+                                     interpret: bool = False):
+    """fused_heads_attention that also returns the per-row log-sum-exp,
+    shape (B, N, H) f32 — the residual feeding the lean backward. Same
+    envelope as the plain forward (the lse block adds <1 MB lane-padded);
+    raises outside it: callers gate on fused_heads_block_q +
+    _bwd_lean_groups BEFORE choosing this path (the stats are useless
+    without a fitting lean backward)."""
+    B, N, HD = q.shape
+    D = HD // num_heads
+    if scale is None:
+        scale = D ** -0.5
+    if block_q is None:
+        block_q = fused_heads_block_q(N, HD, jnp.dtype(q.dtype).itemsize)
+        if not block_q:
+            if interpret:
+                block_q = N
+            else:
+                raise ValueError(
+                    f"no VMEM-fitting stats forward at N={N}, HD={HD}; "
+                    f"use fused_heads_attention (einsum fallback) instead")
+    if N % block_q != 0:
+        raise ValueError(f"block_q {block_q} must divide N {N}")
+    qblk = pl.BlockSpec((1, block_q, HD), lambda b, i: (b, i, 0))
+    full = pl.BlockSpec((1, N, HD), lambda b, i: (b, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_fused_heads_stats_kernel, num_heads=num_heads,
+                          scale=scale),
+        out_shape=[jax.ShapeDtypeStruct((B, N, HD), q.dtype),
+                   jax.ShapeDtypeStruct((B, N, num_heads), jnp.float32)],
+        grid=(B, N // block_q),
+        in_specs=[qblk, full, full],
+        out_specs=[qblk,
+                   pl.BlockSpec((1, block_q, num_heads),
+                                lambda b, i: (b, i, 0))],
+        interpret=interpret,
+    )(q, k, v)
 
 
 def _fused_heads_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
@@ -705,6 +773,157 @@ def fused_heads_attention_bwd_two_pass(q, k, v, g, num_heads: int,
     return dq, dk, dv
 
 
+def _bwd_lean_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref, dq_ref,
+                     dk_ref, dv_ref, *, heads_per_group: int, scale: float,
+                     block_q: int):
+    """LEAN single-pass backward (grid = batch x head-group): reuses the
+    forward's saved per-row log-sum-exp and output instead of recomputing
+    softmax statistics.
+
+    Why (scaled-train profile 2026-08-19, .onchip_r04_profile_precoded):
+    the 12 per-layer attention-VJP programs cost ~5.16 ms each — ~30% of
+    the 204 ms step — against a ~3.5 ms MXU floor; the gap is VPU passes
+    over the (block_q, N) score tiles. Two residuals remove FOUR of them:
+      * p = exp(s - lse) — normalized probabilities in ONE exp pass
+        (the recompute kernels pay max-reduce + subtract + sum-reduce +
+        divide for the same tile);
+      * delta = rowsum(g * o) — the softmax-VJP row term via the (N, D)
+        forward output (delta_i = g_i . o_i analytically), replacing the
+        (block_q, N) rowsum(dp * p) reduction.
+    Matmul count is unchanged (5 per head — the minimum). Heads are
+    walked per lane group exactly like _fused_heads_bwd_blocked_kernel;
+    dk/dv accumulate in f32 carries across q-blocks."""
+    H = heads_per_group
+    N = q_ref.shape[1]
+    D = q_ref.shape[-1] // H
+    dt = q_ref.dtype
+    nb = N // block_q
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+
+        def body(blk, carry):
+            dk_acc, dv_acc = carry
+            rows = pl.ds(blk * block_q, block_q)
+            q = q_ref[0, rows, sl]
+            g = g_ref[0, rows, sl]
+            o = o_ref[0, rows, sl]
+            lse = lse_ref[0, 0, rows, :][:, h]           # (bq,) f32
+            delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                            axis=-1)                     # (bq,) f32
+            s = jax.lax.dot_general(
+                q * jnp.asarray(scale, dt), k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (bq, N) f32
+            p = jnp.exp((s - lse[:, None]).astype(dt))   # normalized, dt
+            gd = g.astype(dt)
+            dv_acc = dv_acc + jax.lax.dot_general(
+                p, gd, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                gd, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = (p.astype(jnp.float32)
+                  * (dp - delta[:, None])).astype(dt)
+            dq = jax.lax.dot_general(
+                ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dq_ref[0, rows, sl] = dq.astype(dq_ref.dtype)
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            return dk_acc, dv_acc
+
+        zero = jnp.zeros((N, D), jnp.float32)
+        dk_acc, dv_acc = jax.lax.fori_loop(0, nb, body, (zero, zero))
+        dk_ref[0, :, sl] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv_acc.astype(dv_ref.dtype)
+
+
+def _bwd_lean_groups(n: int, hd: int, num_heads: int, bpe: int = 2):
+    """(groups, block_q) for the LEAN backward, or None. VMEM accounting
+    per the calibrated rules (CLAUDE.md): 8 lane-grouped grid refs
+    (q/k/v/g/o/dq/dk/dv) count DOUBLE, plus the lane-padded f32 lse block
+    and ~16 B per live score element (s f32 + p at both widths + dp f32 +
+    ds dt). 11 MB budget = ~30% headroom under the 16 MB scoped limit;
+    UNverified estimates stay conservative until kernel_smoke passes the
+    geometry on chip (lean_bwd entry). Fewest groups first, then block_q
+    descending — the round-3 on-chip ranking showed large q-blocks
+    dominate."""
+    if n % 8 != 0 or n < 128:
+        return None
+    d = hd // num_heads
+    budget = 11 * 2 ** 20
+    lse = 2 * n * 128 * 4                    # (1, 1, n, Hg) lane-padded, x2
+    for g in (1, 2, 4, 8, 16):
+        if num_heads % g:
+            continue
+        ghd = hd // g
+        if ghd % 128 or ghd < d:
+            continue
+        refs = 16 * n * ghd * bpe
+        if refs + lse >= budget:
+            continue
+        cands = ([n] if n <= 1024 else []) + [512, 384, 256, 128, 64, 32]
+        for bq in cands:
+            if n % bq == 0 and refs + lse + bq * n * 16 < budget:
+                return (g, bq)
+    return None
+
+
+def fused_heads_attention_bwd_lean(q, k, v, g, o, lse, num_heads: int,
+                                   scale: Optional[float] = None,
+                                   groups: Optional[int] = None,
+                                   block_q: Optional[int] = None,
+                                   interpret: bool = False):
+    """Dispatcher for the lean (stats-reusing) backward: q/k/v/g plus the
+    forward output ``o`` and per-row log-sum-exp ``lse`` (from
+    fused_heads_attention_with_stats); returns (dq, dk, dv). The lse is
+    regrouped host-side to (B, G, N, H/G) so each (batch, group) program
+    reads a contiguous small-lane block (the layout trick proven by the
+    two-pass kernel's stats). Raises outside the envelope and on
+    non-dividing blocks."""
+    B, N, HD = q.shape
+    H = num_heads
+    if scale is None:
+        scale = (HD // H) ** -0.5
+    if groups is None or block_q is None:
+        if interpret:
+            groups, block_q = (groups or 1), (block_q or N)
+        elif groups is None and block_q is None:
+            got = _bwd_lean_groups(N, HD, H, jnp.dtype(q.dtype).itemsize)
+            if got is None:
+                raise ValueError(
+                    f"no VMEM-fitting lean backward at N={N}, HD={HD}; "
+                    f"use the recompute kernels")
+            groups, block_q = got
+        else:
+            # silently replacing a PARTIAL explicit config with the
+            # envelope's pick would time/smoke the wrong kernel
+            raise ValueError("pass both groups and block_q, or neither")
+    G = groups
+    if H % G or HD % G:
+        raise ValueError(f"groups {G} incompatible with HD={HD}, "
+                         f"num_heads={H}")
+    if N % block_q:
+        raise ValueError(f"block_q {block_q} must divide N={N}")
+    Hg = H // G
+    ghd = HD // G
+    lse_g = lse.reshape(B, N, G, Hg).transpose(0, 2, 1, 3)
+    spec = pl.BlockSpec((1, N, ghd), lambda b, gi: (b, 0, gi))
+    return pl.pallas_call(
+        functools.partial(_bwd_lean_kernel, heads_per_group=Hg,
+                          scale=scale, block_q=block_q),
+        out_shape=[jax.ShapeDtypeStruct((B, N, HD), q.dtype)] * 3,
+        grid=(B, G),
+        in_specs=[spec] * 5 + [pl.BlockSpec((1, 1, N, Hg),
+                                            lambda b, gi: (b, gi, 0, 0))],
+        out_specs=[spec] * 3,
+        interpret=interpret,
+    )(q, k, v, g, o, lse_g)
+
+
 def _bwd_head_groups(n: int, hd: int, num_heads: int, bpe: int = 2):
     """(groups, block_q) for the LANE-BLOCKED single-pass backward, or
     None. Heads are independent lane slices of the natural (N, H*D)
@@ -837,6 +1056,25 @@ def fused_heads_attention_bwd(q, k, v, g, num_heads: int,
     )(q, k, v, g)
 
 
+# Opt-in until the lean kernels pass kernel_smoke at the scaled geometry
+# on the real chip AND the scaled-train A/B confirms the win (the queue's
+# lean stages) — then flip, keeping T2MS_ATTN_LEAN_BWD=0 as the oracle
+# escape hatch. Same protocol as dit._RES_LN_DEFAULT_ON.
+_LEAN_BWD_DEFAULT_ON = False
+
+
+def _lean_bwd_enabled() -> bool:
+    """Gate for the stats-residual (lean) attention backward:
+    T2MS_ATTN_LEAN_BWD=0 force-disables, =1 force-enables (interpret mode
+    on CPU — tests); otherwise TPU + the default flag."""
+    flag = os.environ.get("T2MS_ATTN_LEAN_BWD", "")
+    if flag == "0":
+        return False
+    if jax.default_backend() in ("cpu",):
+        return flag == "1"
+    return flag == "1" or _LEAN_BWD_DEFAULT_ON
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_heads_diffable(q, k, v, num_heads):
     """fused_heads_attention with a Pallas VMEM backward (geometry
@@ -845,20 +1083,42 @@ def fused_heads_diffable(q, k, v, num_heads):
 
 
 def _fused_heads_fwd(q, k, v, num_heads):
-    return fused_heads_attention(q, k, v, num_heads), (q, k, v)
+    """Residuals are (q, k, v, o, lse): o/lse present only when the lean
+    gate is on AND both the stats forward and the lean backward admit the
+    geometry — then the forward emits its softmax log-sum-exp for the
+    backward to reuse (one extra tiny write; primal outputs identical).
+    The untraced serving path never runs this function, so inference
+    programs are untouched."""
+    n, hd = q.shape[1], q.shape[2]
+    bpe = jnp.dtype(q.dtype).itemsize
+    if _lean_bwd_enabled():
+        if jax.default_backend() in ("cpu",):
+            out, lse = fused_heads_attention_with_stats(
+                q, k, v, num_heads, interpret=True)
+            return out, (q, k, v, out, lse)
+        if (_bwd_lean_groups(n, hd, num_heads, bpe)
+                and fused_heads_block_q(n, hd, bpe)):
+            out, lse = fused_heads_attention_with_stats(q, k, v, num_heads)
+            return out, (q, k, v, out, lse)
+    return fused_heads_attention(q, k, v, num_heads), (q, k, v, None, None)
 
 
 def _fused_heads_bwd(num_heads, res, g):
-    q, k, v = res
+    q, k, v, o, lse = res
     n = q.shape[1]
     hd = q.shape[-1]
     bpe = jnp.dtype(q.dtype).itemsize
-    # whole-row/blocked kernel while its live set fits VMEM; wide-HD
-    # geometries whose full-row refs overflow split into lane-aligned
-    # head groups (5-matmul single pass, the scaled d=512 winner); the
-    # long-series regime (N=4096+ at HD=128, where lane splitting
-    # bottoms out) runs the two-pass kernel; off-TPU (or geometry with
-    # no fitting block) falls back to the eager einsum recompute
+    # lean kernel when the forward saved softmax stats (gate + envelope
+    # checked there); else: whole-row/blocked kernel while its live set
+    # fits VMEM; wide-HD geometries whose full-row refs overflow split
+    # into lane-aligned head groups (5-matmul single pass, the scaled
+    # d=512 winner); the long-series regime (N=4096+ at HD=128, where
+    # lane splitting bottoms out) runs the two-pass kernel; off-TPU (or
+    # geometry with no fitting block) falls back to the eager recompute
+    if lse is not None:
+        return fused_heads_attention_bwd_lean(
+            q, k, v, g, o, lse, num_heads,
+            interpret=jax.default_backend() in ("cpu",))
     if jax.default_backend() not in ("cpu",):
         if _bwd_block_q(n, hd, bpe):
             return fused_heads_attention_bwd(q, k, v, g, num_heads)

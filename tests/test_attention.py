@@ -397,3 +397,90 @@ def test_head_group_envelope():
     assert 8 % g == 0 and (512 // g) % 128 == 0 and 1024 % bq == 0
     assert _bwd_head_groups(4096, 128, 4, 2) is None
     assert _bwd_head_groups(100, 512, 8, 2) is None
+
+
+def test_stats_forward_matches_plain_and_logsumexp():
+    """The stats forward must produce the IDENTICAL primal output as the
+    plain fused-heads kernel (same math, one extra write) plus the exact
+    per-head softmax log-sum-exp."""
+    from t2ms_tpu.ops.attention import (fused_heads_attention,
+                                        fused_heads_attention_with_stats)
+    ks = jax.random.split(jax.random.key(80), 3)
+    q, k, v = (jax.random.normal(kk, (2, 96, 128)) for kk in ks)
+    out, lse = fused_heads_attention_with_stats(q, k, v, 4, interpret=True)
+    want = fused_heads_attention(q, k, v, 4, block_q=96, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-6, atol=1e-7)
+    B, N, HD, H = 2, 96, 128, 4
+    D = HD // H
+    split = lambda x: x.reshape(B, N, H, D).transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhqd,bhkd->bhqk", split(q) * D ** -0.5, split(k))
+    want_lse = jax.nn.logsumexp(s, axis=-1).transpose(0, 2, 1)  # (B, N, H)
+    assert lse.shape == (B, N, H) and lse.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_lean_bwd_matches_eager_vjp():
+    """The lean backward (probabilities rebuilt as exp(s - lse), softmax
+    row term from g.o) must reproduce the eager einsum VJP — whole-row
+    and blocked/head-grouped walks."""
+    from t2ms_tpu.ops.attention import (_einsum_natural,
+                                        fused_heads_attention_bwd_lean,
+                                        fused_heads_attention_with_stats)
+    ks = jax.random.split(jax.random.key(81), 4)
+    q, k, v = (jax.random.normal(kk, (2, 128, 256)) for kk in ks[:3])
+    g = jax.random.normal(ks[3], (2, 128, 256))
+    o, lse = fused_heads_attention_with_stats(q, k, v, 4, interpret=True)
+    _, vjp = jax.vjp(lambda a, b, c: _einsum_natural(a, b, c, 4), q, k, v)
+    want = vjp(g)
+    for grp, bq in ((1, 128), (2, 64), (4, 32)):
+        got = fused_heads_attention_bwd_lean(q, k, v, g, o, lse, 4,
+                                             groups=grp, block_q=bq,
+                                             interpret=True)
+        for got_i, want_i, name in zip(got, want, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(got_i), np.asarray(want_i), rtol=1e-3,
+                atol=1e-4, err_msg=f"d{name} mismatch (lean g={grp})")
+
+
+def test_lean_bwd_envelope_and_refusals():
+    """Envelope admits the scaled-train geometry; tiny/ragged shapes and
+    partial explicit configs are refused."""
+    from t2ms_tpu.ops.attention import (_bwd_lean_groups,
+                                        fused_heads_attention_bwd_lean)
+    got = _bwd_lean_groups(1024, 512, 8, 2)
+    assert got is not None
+    grp, bq = got
+    assert 8 % grp == 0 and (512 // grp) % 128 == 0 and 1024 % bq == 0
+    assert _bwd_lean_groups(100, 128, 4, 2) is None
+    assert _bwd_lean_groups(64, 128, 4, 2) is None
+    ks = jax.random.split(jax.random.key(82), 6)
+    q, k, v, g, o = (jax.random.normal(kk, (1, 96, 128)) for kk in ks[:5])
+    lse = jax.random.normal(ks[5], (1, 96, 4))
+    with pytest.raises(ValueError, match="both groups and block_q"):
+        fused_heads_attention_bwd_lean(q, k, v, g, o, lse, 4, groups=2)
+    with pytest.raises(ValueError, match="must divide"):
+        fused_heads_attention_bwd_lean(q, k, v, g, o, lse, 4, groups=1,
+                                       block_q=64, interpret=True)
+
+
+def test_lean_custom_vjp_wiring(monkeypatch):
+    """With T2MS_ATTN_LEAN_BWD=1 the diffable path must save stats in the
+    forward and route the backward through the lean kernel (interpret on
+    CPU), producing the same gradients as the default path."""
+    from t2ms_tpu.ops import attention as A
+    ks = jax.random.split(jax.random.key(83), 3)
+    q, k, v = (jax.random.normal(kk, (2, 96, 128)) for kk in ks)
+
+    def loss(q, k, v):
+        return jnp.sum(jnp.square(A.fused_heads_diffable(q, k, v, 4)))
+
+    monkeypatch.setenv("T2MS_ATTN_LEAN_BWD", "0")
+    want = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setenv("T2MS_ATTN_LEAN_BWD", "1")
+    got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for got_i, want_i, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(got_i), np.asarray(want_i), rtol=1e-3, atol=1e-4,
+            err_msg=f"d{name} mismatch (lean wiring)")
