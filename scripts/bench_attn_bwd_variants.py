@@ -16,6 +16,7 @@ einsum VJP would materialize a 2.1 GB score tensor just for checking);
 a variant that fails parity or OOMs is recorded failed, never timed.
 
     python scripts/bench_attn_bwd_variants.py [--reps 10] [--batch 64]
+    python scripts/bench_attn_bwd_variants.py --long   # N=4096 @ HD=128
 """
 
 from __future__ import annotations
@@ -32,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-N, HD, H = 1024, 512, 8
+N, HD, H = 1024, 512, 8          # scaled-train geometry (--long overrides)
 MIN_CORR = 0.999
 
 
@@ -55,9 +56,17 @@ def _sync(out):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=10)
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--long", action="store_true",
+                    help="long-series geometry: N=4096, HD=128, H=4")
     args = ap.parse_args()
     from t2ms_tpu.ops import attention as A
+
+    global N, HD, H
+    if args.long:
+        N, HD, H = 4096, 128, 4
+    if args.batch is None:
+        args.batch = 8 if args.long else 64
 
     dt = jnp.bfloat16
     qs, ks_, vs, gs = _nat(30, 2, dt)                 # parity shapes
@@ -79,21 +88,27 @@ def main():
                            q, k, v, g, o, l, H, groups=grp, block_q=bq))
 
     variants = {
-        "grouped_g2_bq512": (jax.jit(lambda q, k, v, g:
-                                     A.fused_heads_attention_bwd(
-                                         q, k, v, g, H, block_q=512,
-                                         head_groups=2)), False),
         "two_pass": (jax.jit(lambda q, k, v, g:
                              A.fused_heads_attention_bwd_two_pass(
                                  q, k, v, g, H)), False),
     }
-    auto = A._bwd_lean_groups(N, HD, H, 2)
-    if auto:
-        variants[f"lean_auto_g{auto[0]}_bq{auto[1]}"] = (lean(*auto), True)
-    for grp, bq in ((2, 256), (4, 512), (2, 512)):
-        if auto and (grp, bq) == auto:
-            continue
-        variants[f"lean_g{grp}_bq{bq}"] = (lean(grp, bq), True)
+    if args.long:
+        variants["lean_two_pass"] = (jax.jit(
+            lambda q, k, v, g, o, l:
+            A.fused_heads_attention_bwd_lean_two_pass(q, k, v, g, o, l, H)),
+            True)
+    else:
+        variants["grouped_g2_bq512"] = (jax.jit(
+            lambda q, k, v, g: A.fused_heads_attention_bwd(
+                q, k, v, g, H, block_q=512, head_groups=2)), False)
+        auto = A._bwd_lean_groups(N, HD, H, 2)
+        if auto:
+            variants[f"lean_auto_g{auto[0]}_bq{auto[1]}"] = (lean(*auto),
+                                                             True)
+        for grp, bq in ((2, 256), (4, 512), (2, 512)):
+            if auto and (grp, bq) == auto:
+                continue
+            variants[f"lean_g{grp}_bq{bq}"] = (lean(grp, bq), True)
 
     results = {}
     for name, (fn, needs_stats) in variants.items():
@@ -141,7 +156,7 @@ def main():
         print(f"  {nm}: {ms:.3f} ms", file=sys.stderr)
 
     timed = {k: v["ms"] for k, v in results.items()
-             if v.get("ok") and ("bq" in k or k == "two_pass")}
+             if v.get("ok") and ("bq" in k or "two_pass" in k)}
     best = min(timed, key=timed.get) if timed else None
     print(json.dumps({"metric": "attn_bwd_variants",
                       "batch": args.batch, "n": N, "hd": HD,

@@ -236,6 +236,21 @@ def main():
         _check(f"lean_bwd_g{grp[0]}_bq{grp[1]}", got,
                bwd_oracle8(q, k, v, g), results, ms)
 
+    if want_run("lean_two_pass"):
+        # long-series lean backward (N=4096 @ HD=128 — grouping bottoms
+        # out, the two passes share the precomputed [lse | delta] stats)
+        assert A._bwd_lean_two_pass_blocks(4096, 128, 2), \
+            "lean two-pass envelope regressed"
+        q, k, v, g = _nat(20, 2, 4096, 128, dt)
+        o, lse = jax.jit(
+            lambda a, b, c: A.fused_heads_attention_with_stats(a, b, c, 4)
+        )(q, k, v)
+        got, ms = _timed(jax.jit(
+            lambda *a: A.fused_heads_attention_bwd_lean_two_pass(*a, 4)),
+            q, k, v, g, o, lse)
+        _check("lean_two_pass_4096", got, bwd_oracle(q, k, v, g),
+               results, ms)
+
     # --- fused LN+modulate custom-VJP: scaled-train + long-series ---
     def _modln_case(name, seed, B, N, D):
         assert DB.mod_ln_block_q(N, D, 2), "mod_ln envelope regressed"

@@ -65,6 +65,10 @@ run_stage attn_bwd_ab python scripts/bench_attn_bwd_variants.py
 run_stage scaled_leanattn env T2MS_ATTN_LEAN_BWD=1 \
   python scripts/bench_scaled.py --modes train
 
+# 3b. Long-series backward A/B: recompute two-pass vs lean two-pass at
+#     N=4096 @ HD=128 (the SUSHI training geometry).
+run_stage attn_bwd_ab_long python scripts/bench_attn_bwd_variants.py --long
+
 # 4. Fresh headline bench (latent-cache default path).
 run_stage headline python bench.py
 

@@ -26,6 +26,7 @@ __all__ = ["attention", "einsum_attention", "flash_attention",
            "fused_heads_attention_with_stats",
            "fused_heads_diffable", "fused_heads_attention_bwd",
            "fused_heads_attention_bwd_lean",
+           "fused_heads_attention_bwd_lean_two_pass",
            "fused_heads_attention_bwd_two_pass"]
 
 
@@ -773,26 +774,25 @@ def fused_heads_attention_bwd_two_pass(q, k, v, g, num_heads: int,
     return dq, dk, dv
 
 
-def _bwd_lean_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref, dq_ref,
+def _bwd_lean_kernel(q_ref, k_ref, v_ref, g_ref, stats_ref, dq_ref,
                      dk_ref, dv_ref, *, heads_per_group: int, scale: float,
                      block_q: int):
     """LEAN single-pass backward (grid = batch x head-group): reuses the
-    forward's saved per-row log-sum-exp and output instead of recomputing
-    softmax statistics.
+    forward's saved softmax statistics instead of recomputing them.
 
     Why (scaled-train profile 2026-08-19, .onchip_r04_profile_precoded):
     the 12 per-layer attention-VJP programs cost ~5.16 ms each — ~30% of
     the 204 ms step — against a ~3.5 ms MXU floor; the gap is VPU passes
-    over the (block_q, N) score tiles. Two residuals remove FOUR of them:
-      * p = exp(s - lse) — normalized probabilities in ONE exp pass
-        (the recompute kernels pay max-reduce + subtract + sum-reduce +
-        divide for the same tile);
-      * delta = rowsum(g * o) — the softmax-VJP row term via the (N, D)
-        forward output (delta_i = g_i . o_i analytically), replacing the
-        (block_q, N) rowsum(dp * p) reduction.
-    Matmul count is unchanged (5 per head — the minimum). Heads are
-    walked per lane group exactly like _fused_heads_bwd_blocked_kernel;
-    dk/dv accumulate in f32 carries across q-blocks."""
+    over the (block_q, N) score tiles. The stats block carries, per row
+    and head, [lse | delta] (lse = forward log-sum-exp; delta =
+    rowsum(g * o) = the softmax-VJP row term via the forward output,
+    delta_i = g_i . o_i analytically, precomputed in XLA). That removes
+    FOUR tile-wide passes vs the recompute kernels: the max reduce, the
+    sum reduce, the normalizing divide (p = exp(s - lse) is ONE exp
+    pass), and the (block_q, N) rowsum(dp * p) reduction. Matmul count
+    is unchanged (5 per head — the minimum). Heads are walked per lane
+    group exactly like _fused_heads_bwd_blocked_kernel; dk/dv accumulate
+    in f32 carries across q-blocks."""
     H = heads_per_group
     N = q_ref.shape[1]
     D = q_ref.shape[-1] // H
@@ -808,10 +808,8 @@ def _bwd_lean_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref, dq_ref,
             rows = pl.ds(blk * block_q, block_q)
             q = q_ref[0, rows, sl]
             g = g_ref[0, rows, sl]
-            o = o_ref[0, rows, sl]
-            lse = lse_ref[0, 0, rows, :][:, h]           # (bq,) f32
-            delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
-                            axis=-1)                     # (bq,) f32
+            st = stats_ref[0, 0, rows, :]                # (bq, 2H) f32
+            lse, delta = st[:, h], st[:, H + h]          # (bq,) each
             s = jax.lax.dot_general(
                 q * jnp.asarray(scale, dt), k,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -842,34 +840,47 @@ def _bwd_lean_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref, dq_ref,
 
 
 def _bwd_lean_groups(n: int, hd: int, num_heads: int, bpe: int = 2):
-    """(groups, block_q) for the LEAN backward, or None. VMEM accounting
-    per the calibrated rules (CLAUDE.md): 8 lane-grouped grid refs
-    (q/k/v/g/o/dq/dk/dv) count DOUBLE, plus the lane-padded f32 lse block
-    and ~16 B per live score element (s f32 + p at both widths + dp f32 +
-    ds dt). 11 MB budget = ~30% headroom under the 16 MB scoped limit;
-    UNverified estimates stay conservative until kernel_smoke passes the
-    geometry on chip (lean_bwd entry). Fewest groups first, then block_q
-    descending — the round-3 on-chip ranking showed large q-blocks
-    dominate."""
+    """(groups, block_q) for the LEAN single-pass backward, or None.
+    VMEM accounting per the calibrated rules (CLAUDE.md): 7 lane-grouped
+    grid refs (q/k/v/g/dq/dk/dv) count DOUBLE, plus the lane-padded f32
+    [lse | delta] stats block and ~16 B per live score element (s f32 +
+    p at both widths + dp f32 + ds dt). 11 MB budget = ~30% headroom
+    under the 16 MB scoped limit; UNverified estimates stay conservative
+    until kernel_smoke passes the geometry on chip (lean_bwd entry).
+    Fewest groups first, then block_q descending — the round-3 on-chip
+    ranking showed large q-blocks dominate."""
     if n % 8 != 0 or n < 128:
         return None
     d = hd // num_heads
     budget = 11 * 2 ** 20
-    lse = 2 * n * 128 * 4                    # (1, 1, n, Hg) lane-padded, x2
+    stats = 2 * n * 128 * 4                  # (1, 1, n, 2Hg) lane-padded, x2
     for g in (1, 2, 4, 8, 16):
         if num_heads % g:
             continue
         ghd = hd // g
         if ghd % 128 or ghd < d:
             continue
-        refs = 16 * n * ghd * bpe
-        if refs + lse >= budget:
+        refs = 14 * n * ghd * bpe
+        if refs + stats >= budget:
             continue
         cands = ([n] if n <= 1024 else []) + [512, 384, 256, 128, 64, 32]
         for bq in cands:
-            if n % bq == 0 and refs + lse + bq * n * 16 < budget:
+            if n % bq == 0 and refs + stats + bq * n * 16 < budget:
                 return (g, bq)
     return None
+
+
+def _lean_stats(g, o, lse, num_heads: int):
+    """[lse | delta] per (row, head), f32 (B, N, 2H): delta_h =
+    rowsum(g_h * o_h) — the softmax-VJP row term from the saved forward
+    output, ONE cheap XLA bandwidth pass over (B, N, HD) instead of a
+    per-tile (block_q, N) reduction inside the kernel."""
+    B, N, HD = g.shape
+    D = HD // num_heads
+    gh = g.astype(jnp.float32).reshape(B, N, num_heads, D)
+    oh = o.astype(jnp.float32).reshape(B, N, num_heads, D)
+    delta = jnp.sum(gh * oh, axis=-1)                    # (B, N, H)
+    return jnp.concatenate([lse, delta], axis=-1)        # (B, N, 2H)
 
 
 def fused_heads_attention_bwd_lean(q, k, v, g, o, lse, num_heads: int,
@@ -879,11 +890,12 @@ def fused_heads_attention_bwd_lean(q, k, v, g, o, lse, num_heads: int,
                                    interpret: bool = False):
     """Dispatcher for the lean (stats-reusing) backward: q/k/v/g plus the
     forward output ``o`` and per-row log-sum-exp ``lse`` (from
-    fused_heads_attention_with_stats); returns (dq, dk, dv). The lse is
-    regrouped host-side to (B, G, N, H/G) so each (batch, group) program
-    reads a contiguous small-lane block (the layout trick proven by the
-    two-pass kernel's stats). Raises outside the envelope and on
-    non-dividing blocks."""
+    fused_heads_attention_with_stats); returns (dq, dk, dv). delta is
+    precomputed in XLA (_lean_stats) and the combined [lse | delta]
+    block is regrouped host-side to (B, G, N, 2*H/G) so each
+    (batch, group) program reads a contiguous small-lane block (the
+    layout trick proven by the two-pass kernel's stats). Raises outside
+    the envelope and on non-dividing blocks."""
     B, N, HD = q.shape
     H = num_heads
     if scale is None:
@@ -910,18 +922,183 @@ def fused_heads_attention_bwd_lean(q, k, v, g, o, lse, num_heads: int,
         raise ValueError(f"block_q {block_q} must divide N={N}")
     Hg = H // G
     ghd = HD // G
-    lse_g = lse.reshape(B, N, G, Hg).transpose(0, 2, 1, 3)
+    stats = _lean_stats(g, o, lse, H)                    # (B, N, 2H)
+    # group-interleave: [lse_g | delta_g] per group gi, shape (B,G,N,2Hg)
+    lse_g = stats[..., :H].reshape(B, N, G, Hg)
+    del_g = stats[..., H:].reshape(B, N, G, Hg)
+    stats_g = jnp.concatenate([lse_g, del_g], axis=-1).transpose(0, 2, 1, 3)
     spec = pl.BlockSpec((1, N, ghd), lambda b, gi: (b, 0, gi))
     return pl.pallas_call(
         functools.partial(_bwd_lean_kernel, heads_per_group=Hg,
                           scale=scale, block_q=block_q),
         out_shape=[jax.ShapeDtypeStruct((B, N, HD), q.dtype)] * 3,
         grid=(B, G),
-        in_specs=[spec] * 5 + [pl.BlockSpec((1, 1, N, Hg),
+        in_specs=[spec] * 4 + [pl.BlockSpec((1, 1, N, 2 * Hg),
                                             lambda b, gi: (b, gi, 0, 0))],
         out_specs=[spec] * 3,
         interpret=interpret,
-    )(q, k, v, g, o, lse_g)
+    )(q, k, v, g, stats_g)
+
+
+def _bwd_lean_p1_kernel(q_ref, k_ref, v_ref, g_ref, stats_ref, dq_ref, *,
+                        num_heads: int, scale: float):
+    """Lean two-pass backward, pass 1 (grid = batch x q-block): dq for
+    this q-block against full VMEM K/V rows, probabilities rebuilt as
+    exp(s - lse) and the row term read from the precomputed stats —
+    unlike _bwd_pass1_kernel there is NO stats output and NO max/sum/
+    divide/rowsum(dp*p) tile passes. 3 matmuls per head."""
+    H = num_heads
+    D = q_ref.shape[-1] // H
+    dt = q_ref.dtype
+    st = stats_ref[0]                                    # (bq, 2H) f32
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        g = g_ref[0, :, sl].astype(dt)
+        lse, delta = st[:, h], st[:, H + h]
+        s = jax.lax.dot_general(
+            q * jnp.asarray(scale, dt), k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (bq, N)
+        p = jnp.exp((s - lse[:, None]).astype(dt))
+        dp = jax.lax.dot_general(
+            g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = (p.astype(jnp.float32) * (dp - delta[:, None])).astype(dt)
+        dq = jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_lean_p2_kernel(q_ref, k_ref, v_ref, g_ref, stats_ref, dk_ref,
+                        dv_ref, *, num_heads: int, scale: float,
+                        chunk_q: int):
+    """Lean two-pass backward, pass 2 (grid = batch x k-block): walk ALL
+    q rows in chunks against this k/v block, probabilities from the
+    saved lse (one exp pass — _bwd_pass2_kernel additionally pays the
+    normalizing divide) and the row term from the precomputed stats;
+    dk/dv accumulate in f32 carries. 4 matmuls per head."""
+    H = num_heads
+    N = q_ref.shape[1]
+    D = q_ref.shape[-1] // H
+    dt = q_ref.dtype
+    nc = N // chunk_q
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        k = k_ref[0, :, sl]                              # (bk, D)
+        v = v_ref[0, :, sl]
+
+        def body(c, carry):
+            dk_acc, dv_acc = carry
+            rows = pl.ds(c * chunk_q, chunk_q)
+            q = q_ref[0, rows, sl]
+            g = g_ref[0, rows, sl].astype(dt)
+            st = stats_ref[0, rows, :]                   # (cq, 2H) f32
+            lse, delta = st[:, h], st[:, H + h]
+            s = jax.lax.dot_general(
+                q * jnp.asarray(scale, dt), k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (cq, bk)
+            p = jnp.exp((s - lse[:, None]).astype(dt))
+            dv_acc = dv_acc + jax.lax.dot_general(
+                p, g, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = (p.astype(jnp.float32)
+                  * (dp - delta[:, None])).astype(dt)
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            return dk_acc, dv_acc
+
+        bk = k.shape[0]
+        zero = jnp.zeros((bk, D), jnp.float32)
+        dk_acc, dv_acc = jax.lax.fori_loop(0, nc, body, (zero, zero))
+        dk_ref[0, :, sl] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv_acc.astype(dv_ref.dtype)
+
+
+def _bwd_lean_two_pass_blocks(n: int, hd: int, bpe: int = 2):
+    """(block_q, block_k, chunk_q) for the LEAN two-pass backward, or
+    None. Same accounting scheme as _bwd_two_pass_blocks with the lean
+    live set: ~(12 + 2*bpe) B per score element (s/p32/dp f32 + p/ds at
+    input width — no e tile), 2 double-counted full-row refs per pass,
+    lane-padded f32 [lse | delta] stats in both passes."""
+    if n % 8 != 0 or n < 256:
+        return None
+    budget = 11 * 2 ** 20
+    per_elem = 12 + 2 * bpe
+    full_row = 2 * 2 * n * hd * bpe          # two refs, double-buffered
+    stats = 2 * n * 128 * 4                  # (n, 2H) lane-padded, x2
+    p1 = None
+    for bq in (256, 128, 64, 32):
+        if n % bq == 0 and full_row + 2 * bq * 128 * 4 \
+                + per_elem * bq * n < budget:
+            p1 = bq
+            break
+    if p1 is None:
+        return None
+    for bk in (512, 256, 128):
+        cq = 512 if n % 512 == 0 else 256
+        if n % bk == 0 and n % cq == 0 \
+                and full_row + stats + per_elem * cq * bk < budget:
+            return (p1, bk, cq)
+    return None
+
+
+def fused_heads_attention_bwd_lean_two_pass(q, k, v, g, o, lse,
+                                            num_heads: int,
+                                            scale: Optional[float] = None,
+                                            blocks=None,
+                                            interpret: bool = False):
+    """Lean backward for the long-series regime (N=4096+ at HD=128,
+    where lane-grouping bottoms out at 128 lanes): two Pallas passes
+    sharing the precomputed [lse | delta] stats. Same matmul count as
+    fused_heads_attention_bwd_two_pass (7 per head) minus its softmax
+    recompute tile passes in pass 1 and the divide in pass 2. Returns
+    (dq, dk, dv)."""
+    B, N, HD = q.shape
+    H = num_heads
+    if scale is None:
+        scale = (HD // H) ** -0.5
+    if blocks is None:
+        blocks = _bwd_lean_two_pass_blocks(N, HD,
+                                           jnp.dtype(q.dtype).itemsize)
+        if blocks is None:
+            raise ValueError(f"no lean two-pass geometry for N={N}, "
+                             f"HD={HD}")
+    bq, bk, cq = blocks
+    if N % bq or N % bk or N % cq:
+        raise ValueError(f"blocks {blocks} must divide N={N}")
+    stats = _lean_stats(g, o, lse, H)                    # (B, N, 2H)
+    full = pl.BlockSpec((1, N, HD), lambda b, i: (b, 0, 0))
+    qblk = pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0))
+    dq = pl.pallas_call(
+        functools.partial(_bwd_lean_p1_kernel, num_heads=H, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, N, HD), q.dtype),
+        grid=(B, N // bq),
+        in_specs=[qblk, full, full, qblk,
+                  pl.BlockSpec((1, bq, 2 * H), lambda b, i: (b, i, 0))],
+        out_specs=qblk,
+        interpret=interpret,
+    )(q, k, v, g, stats)
+    kblk = pl.BlockSpec((1, bk, HD), lambda b, j: (b, j, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_lean_p2_kernel, num_heads=H, scale=scale,
+                          chunk_q=cq),
+        out_shape=[jax.ShapeDtypeStruct((B, N, HD), q.dtype)] * 2,
+        grid=(B, N // bk),
+        in_specs=[full, kblk, kblk, full,
+                  pl.BlockSpec((1, N, 2 * H), lambda b, j: (b, 0, 0))],
+        out_specs=[kblk, kblk],
+        interpret=interpret,
+    )(q, k, v, g, stats)
+    return dq, dk, dv
 
 
 def _bwd_head_groups(n: int, hd: int, num_heads: int, bpe: int = 2):
@@ -1096,7 +1273,8 @@ def _fused_heads_fwd(q, k, v, num_heads):
             out, lse = fused_heads_attention_with_stats(
                 q, k, v, num_heads, interpret=True)
             return out, (q, k, v, out, lse)
-        if (_bwd_lean_groups(n, hd, num_heads, bpe)
+        if ((_bwd_lean_groups(n, hd, num_heads, bpe)
+             or _bwd_lean_two_pass_blocks(n, hd, bpe))
                 and fused_heads_block_q(n, hd, bpe)):
             out, lse = fused_heads_attention_with_stats(q, k, v, num_heads)
             return out, (q, k, v, out, lse)
@@ -1116,9 +1294,14 @@ def _fused_heads_bwd(num_heads, res, g):
     # lane splitting bottoms out) runs the two-pass kernel; off-TPU (or
     # geometry with no fitting block) falls back to the eager recompute
     if lse is not None:
-        return fused_heads_attention_bwd_lean(
-            q, k, v, g, o, lse, num_heads,
-            interpret=jax.default_backend() in ("cpu",))
+        if jax.default_backend() in ("cpu",):
+            return fused_heads_attention_bwd_lean(q, k, v, g, o, lse,
+                                                  num_heads, interpret=True)
+        if _bwd_lean_groups(n, hd, num_heads, bpe):
+            return fused_heads_attention_bwd_lean(q, k, v, g, o, lse,
+                                                  num_heads)
+        return fused_heads_attention_bwd_lean_two_pass(q, k, v, g, o, lse,
+                                                       num_heads)
     if jax.default_backend() not in ("cpu",):
         if _bwd_block_q(n, hd, bpe):
             return fused_heads_attention_bwd(q, k, v, g, num_heads)

@@ -484,3 +484,42 @@ def test_lean_custom_vjp_wiring(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(got_i), np.asarray(want_i), rtol=1e-3, atol=1e-4,
             err_msg=f"d{name} mismatch (lean wiring)")
+
+
+def test_lean_two_pass_bwd_matches_eager_vjp():
+    """The lean two-pass backward (dq pass + dk/dv pass sharing the
+    precomputed [lse | delta] stats) must reproduce the eager einsum
+    VJP. Reduced N with explicit blocks so interpret mode stays fast;
+    the N=4096 envelope is asserted separately and exercised on-chip by
+    scripts/kernel_smoke.py."""
+    from t2ms_tpu.ops.attention import (
+        _einsum_natural, fused_heads_attention_bwd_lean_two_pass,
+        fused_heads_attention_with_stats)
+    ks = jax.random.split(jax.random.key(84), 4)
+    q, k, v = (jax.random.normal(kk, (2, 256, 128)) for kk in ks[:3])
+    g = jax.random.normal(ks[3], (2, 256, 128))
+    o, lse = fused_heads_attention_with_stats(q, k, v, 4, interpret=True)
+    _, vjp = jax.vjp(lambda a, b, c: _einsum_natural(a, b, c, 4), q, k, v)
+    want = vjp(g)
+    got = fused_heads_attention_bwd_lean_two_pass(q, k, v, g, o, lse, 4,
+                                                  blocks=(64, 128, 128),
+                                                  interpret=True)
+    for got_i, want_i, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(got_i), np.asarray(want_i), rtol=1e-3, atol=1e-4,
+            err_msg=f"d{name} mismatch (lean two-pass)")
+
+
+def test_lean_two_pass_envelope():
+    """The SUSHI long-series geometry (N=4096 @ HD=128) must admit a
+    lean two-pass backward (lane-grouping bottoms out there), with
+    dividing blocks; ragged/tiny shapes refused."""
+    from t2ms_tpu.ops.attention import (_bwd_lean_groups,
+                                        _bwd_lean_two_pass_blocks)
+    assert _bwd_lean_groups(4096, 128, 4, 2) is None
+    blocks = _bwd_lean_two_pass_blocks(4096, 128, 2)
+    assert blocks is not None
+    bq, bk, cq = blocks
+    assert 4096 % bq == 0 and 4096 % bk == 0 and 4096 % cq == 0
+    assert _bwd_lean_two_pass_blocks(100, 128, 2) is None
+    assert _bwd_lean_two_pass_blocks(128, 128, 2) is None
