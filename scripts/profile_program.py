@@ -156,8 +156,22 @@ def main():
                           recursive=True):
         with gzip.open(path, "rt") as f:
             trace = json.load(f)
-        for ev in trace.get("traceEvents", []):
-            if ev.get("ph") == "X" and "dur" in ev:
+        events = trace.get("traceEvents", [])
+        # keep DEVICE tracks only: host rows (np.asarray, profiler glue,
+        # python frames) previously drowned the per-fusion breakdown.
+        # pid -> process_name from the metadata events; fall back to all
+        # events if no device-named process exists (robust across plugin
+        # trace layouts).
+        pname = {}
+        for ev in events:
+            if ev.get("ph") == "M" and ev.get("name") == "process_name":
+                pname[ev.get("pid")] = str(
+                    ev.get("args", {}).get("name", ""))
+        dev_pids = {p for p, n in pname.items()
+                    if re.search(r"tpu|device|/vm", n, re.I)}
+        for ev in events:
+            if ev.get("ph") == "X" and "dur" in ev and (
+                    not dev_pids or ev.get("pid") in dev_pids):
                 durs[ev["name"]] += ev["dur"]
                 counts[ev["name"]] += 1
 
@@ -168,6 +182,23 @@ def main():
         src = op_src.get(name, "")
         print(f"{d/1e3/args.reps:9.3f} ms  x{counts[name]//max(args.reps,1):<5}"
               f" {name[:60]:62s} {src[:70]}")
+
+    # second view: aggregate by SOURCE OP (the metadata op_name path
+    # tail), so the many small fusions stop hiding their common causes —
+    # the serialized top list alone misattributed two round-4 levers
+    # (mod_ln 21.5%, latent cache 17.6 ms; see BASELINE.md)
+    by_src = collections.Counter()
+    src_n = collections.Counter()
+    for name, d in durs.items():
+        src = op_src.get(name, "")
+        key = ("/".join(src.split("/")[-2:]) if src
+               else re.sub(r"[.\d]+$", "", name) or name)
+        by_src[key] += d
+        src_n[key] += counts[name]
+    print(f"# by source op (top {args.top})")
+    for key, d in by_src.most_common(args.top):
+        print(f"{d/1e3/args.reps:9.3f} ms  x{src_n[key]//max(args.reps,1):<5}"
+              f" {key[:120]}")
 
 
 if __name__ == "__main__":
