@@ -105,7 +105,7 @@ def main():
         if auto:
             variants[f"lean_auto_g{auto[0]}_bq{auto[1]}"] = (lean(*auto),
                                                              True)
-        for grp, bq in ((2, 256), (4, 512), (2, 512)):
+        for grp, bq in ((2, 256), (4, 256), (4, 512), (2, 512)):
             if auto and (grp, bq) == auto:
                 continue
             variants[f"lean_g{grp}_bq{bq}"] = (lean(grp, bq), True)
