@@ -1233,10 +1233,15 @@ def fused_heads_attention_bwd(q, k, v, g, num_heads: int,
     )(q, k, v, g)
 
 
-# Opt-in until the lean kernels pass kernel_smoke at the scaled geometry
-# on the real chip AND the scaled-train A/B confirms the win (the queue's
-# lean stages) — then flip, keeping T2MS_ATTN_LEAN_BWD=0 as the oracle
-# escape hatch. Same protocol as dit._RES_LN_DEFAULT_ON.
+# Measured NEGATIVE on chip (wave F/G, 2026-08-20): isolated at the
+# scaled geometry lean_g2_bq512 711.3 ms vs grouped 713.2 (tie), but
+# IN-STEP scaled train 4.31 steps/s (43.3% MFU) vs 4.87 (49.0%) default,
+# and long-series lean_two_pass 66.5 ms vs two_pass 63.4 — the
+# exp(s - lse) probability rebuild + lse-residual plumbing cost more
+# than the 4 saved VPU passes (which overlapped MXU issue anyway).
+# Stays permanently opt-in via T2MS_ATTN_LEAN_BWD=1; kept because the
+# kernels are parity-green (kernel_smoke 26/26) and the stats forward
+# is independently useful. See BASELINE.md scaled-train row.
 _LEAN_BWD_DEFAULT_ON = False
 
 
