@@ -22,6 +22,7 @@ a variant that fails parity or OOMs is recorded failed, never timed.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -101,6 +102,15 @@ def main():
         variants["grouped_g2_bq512"] = (jax.jit(
             lambda q, k, v, g: A.fused_heads_attention_bwd(
                 q, k, v, g, H, block_q=512, head_groups=2)), False)
+        # round-5 pipelined kernel (dp before softmax, no (bq, N)
+        # normalization pass) at the same proven geometries
+        for grp, bq in ((2, 512), (2, 256), (4, 512), (2, 1024)):
+            variants[f"pipe_g{grp}_bq{bq}"] = (jax.jit(
+                functools.partial(
+                    lambda q, k, v, g, grp, bq:
+                    A.fused_heads_attention_bwd(
+                        q, k, v, g, H, block_q=bq, head_groups=grp,
+                        pipelined=True), grp=grp, bq=bq)), False)
         auto = A._bwd_lean_groups(N, HD, H, 2)
         if auto:
             variants[f"lean_auto_g{auto[0]}_bq{auto[1]}"] = (lean(*auto),

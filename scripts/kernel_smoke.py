@@ -203,6 +203,19 @@ def main():
             q, k, v, g)
         _check(f"scaled_bwd_grouped_g{hg[0]}_bq{hg[1]}", got,
                bwd_oracle8(q, k, v, g), results, ms)
+    if want_run("scaled_bwd_pipe"):
+        # round-5 pipelined single-pass backward at the same proven
+        # grouped geometry (dp hoisted ahead of the softmax, 1/r folded
+        # into (bq, D) operands — see _bwd_pipelined_blocked_kernel)
+        hg = A._bwd_head_groups(1024, 512, 8, 2)
+        assert hg, "head-group envelope regressed"
+        q, k, v, g = _nat(21, 2, 1024, 512, dt)
+        got, ms = _timed(
+            jax.jit(lambda *a: A.fused_heads_attention_bwd(
+                *a, 8, block_q=hg[1], head_groups=hg[0], pipelined=True)),
+            q, k, v, g)
+        _check(f"scaled_bwd_pipe_g{hg[0]}_bq{hg[1]}", got,
+               bwd_oracle8(q, k, v, g), results, ms)
 
     if want_run("stats_fwd"):
         # lean-path forward: primal + per-row log-sum-exp residual

@@ -602,6 +602,92 @@ def _fused_heads_bwd_blocked_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref,
         dv_ref[0, :, sl] = dv_acc.astype(dv_ref.dtype)
 
 
+def _bwd_pipelined_blocked_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref,
+                                  dk_ref, dv_ref, *, num_heads: int,
+                                  scale: float, block_q: int):
+    """PIPELINED variant of the blocked single-pass backward (round 5,
+    TODO.md's one untried scaled-MFU lever): same refs/grid as
+    `_fused_heads_bwd_blocked_kernel`, restructured so the MXU never
+    waits on the f32 probability normalization.
+
+    Two changes vs the default kernel:
+
+    1. `dp = g @ v^T` is issued IMMEDIATELY after the score matmul —
+       it depends on nothing the softmax produces, so Mosaic can
+       overlap it with the row-max/exp/row-sum VPU work instead of
+       serializing matmul -> softmax -> matmul as the default's
+       program order forces.
+    2. The probabilities are NEVER normalized as an (bq, N) tensor.
+       With p = e * r^-1 (row scaling), every use of p folds the
+       1/r into an (bq, D)-sized operand or output instead:
+         dv = e^T @ (g * r^-1)                    [scale g, K=bq]
+         t  = rowsum(dp * e) * r^-1               [(bq, 1)]
+         ds_u = e * (dp - t)  (unnormalized ds)
+         dq = (ds_u @ k) * (scale * r^-1)         [scale the output]
+         dk = ds_u^T @ (q * scale * r^-1)         [scale q, K=bq]
+       This removes the (bq, N) f32 divide and one (bq, N) cast from
+       the critical path between the score matmul and the three
+       gradient matmuls. (Algebra: p = e/r row-wise; ds = p*(dp -
+       rowsum(dp*p)) = e*(dp - t)*r^-1 with t = rowsum(dp*e)*r^-1;
+       row scaling of ds commutes out of dq's rows and into dk's
+       contraction operand q.)
+
+    Exact same math as the default backward — only the association of
+    the 1/r scaling differs (bf16 rounding moves from the (bq, N) ds
+    tensor to the (bq, D) scaled operands, comparable precision).
+    Opt-in via T2MS_ATTN_PIPE_BWD=1 until the on-chip A/B decides the
+    default (BASELINE.md scaled-train row)."""
+    H = num_heads
+    N = q_ref.shape[1]
+    D = q_ref.shape[-1] // H
+    dt = q_ref.dtype
+    nb = N // block_q
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+
+        def body(blk, carry):
+            dk_acc, dv_acc = carry
+            rows = pl.ds(blk * block_q, block_q)
+            q = q_ref[0, rows, sl]
+            g = g_ref[0, rows, sl]
+            s = jax.lax.dot_general(
+                q * jnp.asarray(scale, dt), k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (bq, N)
+            # softmax-independent: overlaps the VPU softmax below
+            dp = jax.lax.dot_general(
+                g.astype(dt), v,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (bq, N)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp((s - m).astype(dt))              # fwd's bf16 exp
+            ef = e.astype(jnp.float32)
+            inv_r = 1.0 / jnp.sum(ef, axis=-1, keepdims=True)  # (bq, 1)
+            gs = (g.astype(jnp.float32) * inv_r).astype(dt)    # (bq, D)
+            dv_acc = dv_acc + jax.lax.dot_general(
+                e, gs, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            t = jnp.sum(dp * ef, axis=-1, keepdims=True) * inv_r
+            ds_u = (ef * (dp - t)).astype(dt)            # unnormalized
+            dq = jax.lax.dot_general(
+                ds_u, k, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dq_ref[0, rows, sl] = (dq * (scale * inv_r)).astype(
+                dq_ref.dtype)
+            qs = (q.astype(jnp.float32) * (scale * inv_r)).astype(dt)
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds_u, qs, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return dk_acc, dv_acc
+
+        zero = jnp.zeros((N, D), jnp.float32)
+        dk_acc, dv_acc = jax.lax.fori_loop(0, nb, body, (zero, zero))
+        dk_ref[0, :, sl] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv_acc.astype(dv_ref.dtype)
+
+
 def _bwd_pass1_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, stats_ref, *,
                       num_heads: int, scale: float):
     """Two-pass long-series backward, pass 1 (grid = batch x q-block):
@@ -1178,6 +1264,7 @@ def fused_heads_attention_bwd(q, k, v, g, num_heads: int,
                               scale: Optional[float] = None,
                               block_q: Optional[int] = None,
                               head_groups: int = 1,
+                              pipelined: Optional[bool] = None,
                               interpret: bool = False):
     """Pallas backward pass for the natural-layout attention: inputs and
     upstream gradient g all (B, N, H*D); returns (dq, dk, dv). N beyond
@@ -1193,6 +1280,10 @@ def fused_heads_attention_bwd(q, k, v, g, num_heads: int,
         scale = (HD // num_heads) ** -0.5
     if block_q and N % block_q:
         raise ValueError(f"block_q {block_q} must divide N={N}")
+    if pipelined is None:
+        pipelined = _pipe_bwd_enabled()
+    blocked_kernel = (_bwd_pipelined_blocked_kernel if pipelined
+                      else _fused_heads_bwd_blocked_kernel)
     if head_groups > 1:
         G = head_groups
         ghd = HD // G
@@ -1200,7 +1291,7 @@ def fused_heads_attention_bwd(q, k, v, g, num_heads: int,
             raise ValueError(f"head_groups {G} incompatible with "
                              f"HD={HD}, num_heads={num_heads}")
         spec = pl.BlockSpec((1, N, ghd), lambda b, gi: (b, 0, gi))
-        kernel = functools.partial(_fused_heads_bwd_blocked_kernel,
+        kernel = functools.partial(blocked_kernel,
                                    num_heads=num_heads // G, scale=scale,
                                    block_q=block_q or N)
         grid = (B, G)
@@ -1215,11 +1306,11 @@ def fused_heads_attention_bwd(q, k, v, g, num_heads: int,
                     f"envelope); use head_groups, "
                     f"fused_heads_attention_bwd_two_pass, or the eager "
                     f"einsum VJP")
-        if block_q == N:
+        if block_q == N and not pipelined:
             kernel = functools.partial(_fused_heads_bwd_kernel,
                                        num_heads=num_heads, scale=scale)
         else:
-            kernel = functools.partial(_fused_heads_bwd_blocked_kernel,
+            kernel = functools.partial(blocked_kernel,
                                        num_heads=num_heads, scale=scale,
                                        block_q=block_q)
         grid = (B,)
@@ -1243,6 +1334,23 @@ def fused_heads_attention_bwd(q, k, v, g, num_heads: int,
 # kernels are parity-green (kernel_smoke 26/26) and the stats forward
 # is independently useful. See BASELINE.md scaled-train row.
 _LEAN_BWD_DEFAULT_ON = False
+
+# Round-5 pipelined single-pass backward (dp hoisted ahead of the
+# softmax, normalization folded into (bq, D) operands — see
+# _bwd_pipelined_blocked_kernel). Flips only on a winning on-chip A/B
+# at the scaled geometry (scripts/bench_attn_bwd_variants.py).
+_PIPE_BWD_DEFAULT_ON = False
+
+
+def _pipe_bwd_enabled() -> bool:
+    """Gate for the pipelined single-pass attention backward:
+    T2MS_ATTN_PIPE_BWD=0 force-disables, =1 force-enables; otherwise
+    the default flag (TPU and CPU-interpret alike — the kernel is
+    geometry-compatible wherever the blocked kernel is)."""
+    flag = os.environ.get("T2MS_ATTN_PIPE_BWD", "")
+    if flag == "0":
+        return False
+    return flag == "1" or _PIPE_BWD_DEFAULT_ON
 
 
 def _lean_bwd_enabled() -> bool:

@@ -252,6 +252,28 @@ def test_fused_heads_pallas_bwd_matches_eager_vjp():
             err_msg=f"d{name} mismatch")
 
 
+def test_fused_heads_pipelined_bwd_matches_eager_vjp():
+    """The round-5 PIPELINED backward (dp hoisted ahead of the softmax,
+    1/r folded into (bq, D) operands — no (bq, N) normalization pass)
+    must stay exact vs the eager einsum VJP, whole-row, blocked AND
+    head-grouped."""
+    from t2ms_tpu.ops.attention import (_einsum_natural,
+                                        fused_heads_attention_bwd)
+    ks = jax.random.split(jax.random.key(22), 4)
+    q, k, v = (jax.random.normal(kk, (2, 96, 128)) for kk in ks[:3])
+    g = jax.random.normal(ks[3], (2, 96, 128))
+    _, vjp = jax.vjp(lambda a, b, c: _einsum_natural(a, b, c, 4), q, k, v)
+    want = vjp(g)
+    for kw in ({"block_q": 96}, {"block_q": 32},
+               {"block_q": 48, "head_groups": 2}):
+        got = fused_heads_attention_bwd(q, k, v, g, 4, pipelined=True,
+                                        interpret=True, **kw)
+        for got_i, want_i, name in zip(got, want, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(got_i), np.asarray(want_i), rtol=1e-3,
+                atol=1e-4, err_msg=f"d{name} mismatch at {kw}")
+
+
 def test_bwd_refuses_unfitting_geometry():
     """The public backward entry must REFUSE geometries its envelope
     rejects instead of silently running the whole-row kernel that was
