@@ -64,13 +64,26 @@ def main():
                         "refill a tier-sized group. Size clients to the "
                         "largest tier and the deadline to ~10% of a "
                         "batch's service time for a saturation number.")
+    p.add_argument("--lengths", type=str, default="96",
+                   help="comma list of out-length buckets served "
+                        "concurrently (VERDICT r4 #6 mixed-bucket "
+                        "scenario: 24,48,96 — each request draws a "
+                        "random bucket; the engine batches per bucket)")
+    p.add_argument("--rate", type=float, default=0.0,
+                   help="OPEN-LOOP arrival rate in requests/sec (one "
+                        "submitter thread, exponential inter-arrivals — "
+                        "arrivals independent of service, the textbook "
+                        "saturation load). 0 = the closed-loop client "
+                        "threads (legacy saturated phase)")
     args = p.parse_args()
 
     from t2ms_tpu.serving import ServingEngine
     dit, vae, d_params, vae_params = build_flagship()
     tiers = [int(t) for t in args.tiers.split(",")]
+    lengths = [int(s) for s in args.lengths.split(",")]
     eng = ServingEngine(dit, vae, d_params, vae_params,
-                        total_step=args.total_step, out_lengths=(96,),
+                        total_step=args.total_step,
+                        out_lengths=tuple(lengths),
                         batch_tiers=tiers, max_wait_ms=args.max_wait_ms,
                         text_emb_dim=128)
     print(f"# warmup: compiling {len(tiers)} programs...", flush=True)
@@ -82,24 +95,49 @@ def main():
     embs = rng.standard_normal((256, 128), dtype=np.float32)
 
     # --- saturated phase ---------------------------------------------
-    n_left = threading.Semaphore(args.requests)
     done = []
     lock = threading.Lock()
+    lrng = np.random.default_rng(1)
+    req_lengths = lrng.choice(lengths, size=args.requests)
 
-    def client(i):
-        while n_left.acquire(blocking=False):
-            r = eng.submit(embs[i % 256], 96, seed=i).result(timeout=600)
-            with lock:
-                done.append(r)
+    if args.rate > 0:
+        # open-loop: one submitter, exponential inter-arrivals; futures
+        # resolve on a collector pool so arrivals never block on service
+        futs = []
+        t0 = time.perf_counter()
+        next_t = t0
+        for i in range(args.requests):
+            next_t += lrng.exponential(1.0 / args.rate)
+            dt = next_t - time.perf_counter()
+            if dt > 0:
+                time.sleep(dt)
+            futs.append(eng.submit(embs[i % 256], int(req_lengths[i]),
+                                   seed=i))
+        for f in futs:
+            done.append(f.result(timeout=600))
+        wall = time.perf_counter() - t0
+    else:
+        n_left = threading.Semaphore(args.requests)
+        ctr = iter(range(args.requests))
+        ctr_lock = threading.Lock()
 
-    t0 = time.perf_counter()
-    threads = [threading.Thread(target=client, args=(i,))
-               for i in range(args.clients)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t0
+        def client(i):
+            while n_left.acquire(blocking=False):
+                with ctr_lock:
+                    j = next(ctr)
+                r = eng.submit(embs[j % 256], int(req_lengths[j]),
+                               seed=j).result(timeout=600)
+                with lock:
+                    done.append(r)
+
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(args.clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
     sat_tput = len(done) / wall
     st = eng.stats()
 
@@ -107,28 +145,38 @@ def main():
     lats = []
     for i in range(args.trickle):
         t1 = time.perf_counter()
-        eng.submit(embs[i], 96, seed=10_000 + i).result(timeout=600)
+        eng.submit(embs[i], lengths[-1], seed=10_000 + i).result(timeout=600)
         lats.append(time.perf_counter() - t1)
         time.sleep(0.05)          # let the engine go idle between
     lats.sort()
     eng.close()
 
+    extra = {
+        "saturated_requests": len(done),
+        "clients": args.clients,
+        "tiers": tiers,
+        "lengths": lengths,
+        "open_loop_rate": args.rate or None,
+        "padding_fraction": round(st["padding_fraction"], 4),
+        "batches": st["batches"],
+        "saturated_p50_s": round(
+            sorted(r.latency_s for r in done)[len(done) // 2], 4),
+        "trickle_p50_s": round(lats[len(lats) // 2], 4),
+        "trickle_p95_s": round(lats[int(len(lats) * 0.95)], 4),
+    }
+    if "per_bucket" in st:
+        extra["per_bucket"] = {
+            L: {k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in row.items() if k != "latencies"}
+            for L, row in st["per_bucket"].items()}
     print(json.dumps({
-        "metric": "serving_engine_throughput_len96",
+        "metric": ("serving_engine_throughput_mixed"
+                   if len(lengths) > 1 else
+                   "serving_engine_throughput_len96"),
         "value": round(sat_tput, 1),
         "unit": "series/sec/chip",
         "vs_baseline": None,
-        "extra": {
-            "saturated_requests": len(done),
-            "clients": args.clients,
-            "tiers": tiers,
-            "padding_fraction": round(st["padding_fraction"], 4),
-            "batches": st["batches"],
-            "saturated_p50_s": round(
-                sorted(r.latency_s for r in done)[len(done) // 2], 4),
-            "trickle_p50_s": round(lats[len(lats) // 2], 4),
-            "trickle_p95_s": round(lats[int(len(lats) * 0.95)], 4),
-        },
+        "extra": extra,
     }), flush=True)
 
 

@@ -53,6 +53,16 @@ def main():
                          "length buckets 48/96/192 with the single-embedding "
                          "schema (reference deadlift/dataset.py:97-114, "
                          "config.yaml:58-103)")
+    ap.add_argument("--vae_kind", default="conv", choices=["conv", "tsae"],
+                    help="conv: the LA-VAE (reference mytrain.py's actual "
+                         "encoder, mytrain.py:9,29). tsae: the TSae "
+                         "seq2seq AE the reference PRETRAINS as its T2MS "
+                         "default (pretrained_mylavae.py:185) but never "
+                         "wires into its denoiser — here the DiT trains "
+                         "on TSae memory latents (B, flow_dim, T) via "
+                         "TSaeDiffusion and samples through the scanned "
+                         "AR generator (VERDICT r4 #3). Single-bucket "
+                         "tracks only (the TSae latent length equals T)")
     ap.add_argument("--latent_grid", type=int, default=0,
                     help="latent length override; 0 = track default for DiT "
                          "(30/64), reference geometry 6 for MLP (the "
@@ -80,6 +90,16 @@ def main():
                          "ddim/25 on --backbone ddpm")
     ap.add_argument("--sample_steps", type=int, default=100,
                     help="sampler total_step for the eval stage")
+    ap.add_argument("--solver_ab", default="",
+                    help="comma list of solver:steps pairs (e.g. "
+                         "'euler:100,heun:25,midpoint:50') scored "
+                         "MSE + C-FID from the SAME trained model at "
+                         "args.cfg_scale — the few-step-solver A/B "
+                         "without retraining per arm (VERDICT r4 #5; "
+                         "training is solver-independent, so one model "
+                         "serves every integrator). Requires "
+                         "--eval_cfid. 'ddim:N' pairs need "
+                         "--backbone ddpm")
     ap.add_argument("--ema_decay", type=float, default=0.0,
                     help="train an EMA shadow and EVALUATE it instead of "
                          "the live weights (0 = off). Training is "
@@ -97,6 +117,9 @@ def main():
     if args.cfg_sweep and not args.eval_cfid:
         ap.error("--cfg_sweep is scored inside the C-FID evaluation "
                  "block; pass --eval_cfid too (ADVICE r2)")
+    if args.solver_ab and not args.eval_cfid:
+        ap.error("--solver_ab is scored inside the C-FID evaluation "
+                 "block; pass --eval_cfid too")
 
     from t2ms_tpu.models.denoisers import DiT
     from t2ms_tpu.models.vae import LAVAE
@@ -152,7 +175,14 @@ def main():
     latent_len = args.latent_grid or (
         64 if multivariate else
         (6 if args.denoiser == "MLP" else 30))
-    if multivariate:
+    if args.vae_kind == "tsae":
+        if len(buckets) > 1:
+            ap.error("--vae_kind tsae needs a single-bucket track (the "
+                     "TSae latent length equals the series length)")
+        from t2ms_tpu.models.vae import TSaeDiffusion
+        vae = TSaeDiffusion(n_features=n_feat, flow_dim=64)
+        latent_len = T                 # memory latent is (B, 64, T)
+    elif multivariate:
         vae = LAVAE(in_channels=n_feat, num_residual_layers=3,
                     latent_grid=latent_len, exact_length_output=True)
     else:
@@ -171,7 +201,22 @@ def main():
     vp = vae.init(jax.random.key(0), jnp.asarray(x0))
     opt_v = warmup_cosine_adamw(1e-3, warmup_steps=100, cosine_period=600)
     sv = TrainState(vp, opt_v.init(vp), jnp.zeros((), jnp.int32))
-    vstep = make_vae_train_step(vae, opt_v)
+    if args.vae_kind == "tsae":
+        # teacher-forced pretraining with the reference's p=0.1 dropout
+        # (TSae.py:114; train mode in shared_eval :556-571)
+        from t2ms_tpu.models.vae import tsae_adapter_loss
+
+        @jax.jit
+        def vstep(state, x):
+            dkey = jax.random.fold_in(jax.random.key(777), state.step)
+            (loss, (re, _)), g = jax.value_and_grad(
+                lambda p: tsae_adapter_loss(vae, p, x, dropout_key=dkey),
+                has_aux=True)(state.params)
+            u, os_ = opt_v.update(g, state.opt_state, state.params)
+            return (TrainState(optax.apply_updates(state.params, u), os_,
+                               state.step + 1), (loss, re))
+    else:
+        vstep = make_vae_train_step(vae, opt_v)
     recon_err = dloss = jnp.asarray(float("nan"))   # --*_steps 0 runs
     for i in range(args.vae_steps):
         x, _, _ = make_batch(i, B, schedule[i % len(schedule)])
@@ -208,16 +253,18 @@ def main():
     per_bucket_n = n_eval // len(buckets)
     evals = {L: make_batch(99999 + L, per_bucket_n, L) for L in buckets}
 
-    def sample_at(cfg_scale, L):
-        if args.solver == "ddim":
+    def sample_at(cfg_scale, L, solver=None, steps=None):
+        solver = solver or args.solver
+        steps = steps or args.sample_steps
+        if solver == "ddim":
             # ddim subsamples the TRAINING schedule (T=100, fixed above)
             sampler = make_cfg_sampler(dit, vae, args.backbone, 100,
                                        cfg_scale, L, solver="ddim",
-                                       sample_steps=args.sample_steps)
+                                       sample_steps=steps)
         else:
             sampler = make_cfg_sampler(dit, vae, args.backbone,
-                                       args.sample_steps, cfg_scale, L,
-                                       solver=args.solver)
+                                       steps, cfg_scale, L,
+                                       solver=solver)
         x_gt, e_gt, _ = evals[L]
         out = sampler(sd.params, vp, jax.random.key(42),
                       jnp.asarray(x_gt), jnp.asarray(e_gt))
@@ -276,6 +323,20 @@ def main():
                         r1, m.encode(g, encoding_window="full_series")),
                 }
             res["cfg_sweep"] = sweep
+        if args.solver_ab:
+            # one trained model, many integrators (mirrors the r4
+            # 1500-step A/B protocol at whatever --steps this run used)
+            sab = {}
+            for pair in args.solver_ab.split(","):
+                sname, ssteps = pair.split(":")
+                g = to_ntd(sample_at(args.cfg_scale, T, solver=sname,
+                                     steps=int(ssteps))).astype(np.float32)
+                sab[pair] = {
+                    "MSE": calculate_mse(ntd_gt, g),
+                    "C-FID": calculate_fid(
+                        r1, m.encode(g, encoding_window="full_series")),
+                }
+            res["solver_ab"] = sab
 
     gates = {
         "mse_beats_noise": res["MSE"] < 0.5 * res["MSE_noise_floor"],

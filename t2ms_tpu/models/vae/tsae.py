@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["TSae"]
+__all__ = ["TSae", "TSaeDiffusion", "tsae_adapter_loss", "tsae_loss"]
 
 
 def _positional_encoding(T: int, d: int) -> jnp.ndarray:
@@ -264,6 +264,109 @@ class TSae(nn.Module):
         """Inference path (reference forward_inference :523-554)."""
         mem = self.encode(series)
         return self.generate(mem)
+
+
+class TSaeDiffusion:
+    """LAVAE-interface adapter over a TSae: exposes ``encode(x) ->
+    (z, aux)`` / ``decode(z, length) -> (x, aux)`` in the conv-VAE's
+    (B, F, T) channel-first layout so the TSae can stand in anywhere a
+    LAVAE feeds the diffusion stack (make_denoiser_train_step,
+    make_cfg_sampler, make_cfg_sampler's one-shot final decode).
+
+    Beyond-reference wiring, deliberately: the reference pretrains TSae
+    as the T2MS VAE default (pretrained_mylavae.py:185) but its
+    mytrain.py hard-imports the conv vqvae encoder (mytrain.py:9,29), so
+    TSae latents never actually reach the reference denoiser. This
+    adapter closes that loop the TPU-native way — latent z is the
+    encoder memory transposed to (B, flow_dim, T); decode runs the
+    scanned autoregressive generator (TSae.py:391-421 semantics).
+    The latent length equals the series length T (no resize-to-grid —
+    the TSae has no length adaptation stage).
+
+    NOT an nn.Module: flax's lifted machinery rejects ``lax.scan``-over-
+    submodules when the scanning method is re-entered through a wrapper
+    module (UnexpectedTracerError, observed for both composition and
+    subclassing), so this is a plain object that duck-types the exact
+    surface the trainer/sampler use — ``init`` and
+    ``apply(params, *args, method=...)`` — and routes every method to a
+    TOP-LEVEL ``TSae.apply`` where the scan is proven to trace. The
+    param tree is the TSae's own, so cli.pretrain_mylavae checkpoints
+    load directly."""
+
+    def __init__(self, n_features: int = 10, flow_dim: int = 64,
+                 num_encoder_layers: int = 3, num_decoder_layers: int = 3,
+                 d_ff: int = 128, num_heads: int = 8,
+                 dropout: float = 0.1):
+        self.n_features = n_features
+        self.flow_dim = flow_dim
+        self.tsae = TSae(n_features=n_features, flow_dim=flow_dim,
+                         num_encoder_layers=num_encoder_layers,
+                         num_decoder_layers=num_decoder_layers,
+                         d_ff=d_ff, num_heads=num_heads, dropout=dropout)
+
+    # marker methods: identity targets for apply(method=...) and the
+    # layout adapters themselves
+    def _to_series(self, x):
+        if x.ndim == 2:                   # univariate (B, T) -> (B, T, 1)
+            return x[:, :, None]
+        return x.transpose(0, 2, 1)       # (B, F, T) -> (B, T, F)
+
+    def _from_series(self, r, squeeze: bool):
+        if squeeze:
+            return r[:, :, 0]             # (B, T)
+        return r.transpose(0, 2, 1)       # (B, F, T)
+
+    def init(self, key, x):
+        s = self._to_series(x)
+        return self.tsae.init(key, s, jnp.zeros((s.shape[0], 128)))
+
+    def encode(self, params, x):
+        mem = self.tsae.apply(params, self._to_series(x),
+                              method=self.tsae.encode)   # (B, T, flow)
+        return mem.transpose(0, 2, 1), mem               # z: (B, flow, T)
+
+    def decode(self, params, z, length: int):
+        mem = z.transpose(0, 2, 1)                       # (B, T, flow)
+        out = self.tsae.apply(params, mem,
+                              method=self.tsae.generate)  # (B, T, n_f)
+        return self._from_series(out, self.n_features == 1), mem
+
+    def reconstruct_teacher_forced(self, params, x, dropout_key=None):
+        """Channel-first teacher-forced reconstruction (pretraining
+        target, reference shared_eval TSae.py:556-571)."""
+        s = self._to_series(x)
+        loss, recon = tsae_loss(self.tsae, params, s,
+                                dropout_key=dropout_key)
+        return self._from_series(recon, x.ndim == 2)
+
+    def reconstruct_autoregressive(self, params, x):
+        z, _ = self.encode(params, x)
+        out, _ = self.decode(params, z, x.shape[-1])
+        return out
+
+    def apply(self, params, *args, method=None, **kwargs):
+        """flax-Module-shaped dispatch: ``method`` is one of this
+        object's bound methods (the trainer/sampler pass
+        ``method=vae.encode`` / ``vae.decode``)."""
+        fn = getattr(self, method.__name__) if method is not None \
+            else self.__call__
+        return fn(params, *args, **kwargs)
+
+    def __call__(self, params, x):
+        z, mem = self.encode(params, x)
+        recon, after = self.decode(params, z, x.shape[-1])
+        return recon, z, mem, after
+
+
+def tsae_adapter_loss(model: TSaeDiffusion, params, batch: jnp.ndarray,
+                      dropout_key=None):
+    """Teacher-forced MSE through the adapter, channel-first layout —
+    drop-in for lavae_loss in pretraining loops. Returns
+    (loss, (recon_error, recon)) like the LAVAE loss."""
+    recon = model.reconstruct_teacher_forced(params, batch,
+                                             dropout_key=dropout_key)
+    loss = jnp.mean(jnp.square(recon - batch))
+    return loss, (loss, recon)
 
 
 def tsae_loss(model: TSae, params, series: jnp.ndarray,

@@ -254,6 +254,11 @@ class ServingEngine:
         self._seed_counter = 0
         self._stats = dict(requests=0, batches=0, padded_rows=0,
                            served_rows=0, latencies=[])
+        # per-bucket accounting for mixed-length loads (VERDICT r4 #6):
+        # same fields keyed by out_length, filled by the completer
+        self._bucket_stats = {
+            int(L): dict(batches=0, padded_rows=0, served_rows=0,
+                         latencies=[]) for L in out_lengths}
         # two-stage pipeline: the dispatcher forms + dispatches batches
         # (JAX dispatch is async), the completer host-syncs and fulfils
         # futures — so the host transfer of batch N overlaps the device
@@ -316,19 +321,28 @@ class ServingEngine:
                                   np.full((tier,), self._default_cfg,
                                           np.float32), e)
 
+    @staticmethod
+    def _summarize(s: dict) -> dict:
+        lat = sorted(s["latencies"])
+        served = s["served_rows"]
+        return dict(
+            batches=s["batches"],
+            served_rows=served,
+            padding_fraction=(s["padded_rows"] /
+                              max(1, served + s["padded_rows"])),
+            p50_latency_s=lat[len(lat) // 2] if lat else None,
+            p95_latency_s=lat[int(len(lat) * 0.95)] if lat else None,
+        )
+
     def stats(self) -> dict:
         with self._lock:
-            lat = sorted(self._stats["latencies"])
-            served = self._stats["served_rows"]
-            return dict(
-                requests=self._stats["requests"],
-                batches=self._stats["batches"],
-                served_rows=served,
-                padding_fraction=(self._stats["padded_rows"] /
-                                  max(1, served + self._stats["padded_rows"])),
-                p50_latency_s=lat[len(lat) // 2] if lat else None,
-                p95_latency_s=lat[int(len(lat) * 0.95)] if lat else None,
-            )
+            out = self._summarize(self._stats)
+            out["requests"] = self._stats["requests"]
+            if len(self._bucket_stats) > 1:
+                out["per_bucket"] = {
+                    str(L): self._summarize(s)
+                    for L, s in self._bucket_stats.items()}
+            return out
 
     def close(self, drain: bool = True) -> None:
         """Stop the dispatcher. ``drain=True`` serves everything already
@@ -466,11 +480,18 @@ class ServingEngine:
                 self._stats["batches"] += 1
                 self._stats["served_rows"] += n
                 self._stats["padded_rows"] += tier - n
+                bs = self._bucket_stats[L]
+                bs["batches"] += 1
+                bs["served_rows"] += n
+                bs["padded_rows"] += tier - n
                 for r in reqs:
                     self._stats["latencies"].append(t_done - r.submit_t)
+                    bs["latencies"].append(t_done - r.submit_t)
                 # bound the window: a long-running server must not leak
                 if len(self._stats["latencies"]) > 20_000:
                     del self._stats["latencies"][:10_000]
+                if len(bs["latencies"]) > 20_000:
+                    del bs["latencies"][:10_000]
             for i, r in enumerate(reqs):
                 r.future.set_result(GenerationResult(
                     series=series[i], seed=r.seed, out_length=L,
