@@ -34,8 +34,13 @@ __all__ = ["onecycle_adamw", "warmup_cosine_adamw", "vae_schedule"]
 
 def onecycle_adamw(total_steps: int, max_lr: float = 1e-4,
                    weight_decay: float = 0.0) -> optax.GradientTransformation:
+    # floor of 4: optax's cosine_onecycle divides by the warmup interval
+    # int(pct_start * T), which is ZERO for T <= 3 — the schedule then
+    # returns NaN lr and one update NaNs the whole parameter tree
+    # (observed in a --steps 2 smoke run; 4 is the smallest T whose
+    # intervals are all nonzero at pct_start=0.3)
     sched = optax.cosine_onecycle_schedule(
-        transition_steps=max(total_steps, 1),
+        transition_steps=max(total_steps, 4),
         peak_value=max_lr,
         pct_start=0.3,
         div_factor=25.0,

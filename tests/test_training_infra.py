@@ -27,6 +27,25 @@ def test_onecycle_matches_torch():
     np.testing.assert_allclose(ours, torch_lrs, rtol=2e-2, atol=2e-7)
 
 
+def test_onecycle_tiny_step_counts_stay_finite():
+    """optax's cosine_onecycle divides by int(pct_start * T), which is 0
+    for T <= 3 — NaN lr, and one AdamW update NaNs the entire parameter
+    tree (hit by a --steps 2 smoke run). onecycle_adamw must clamp."""
+    from t2ms_tpu.training.optim import onecycle_adamw
+    import jax
+    import jax.numpy as jnp
+
+    for total in (1, 2, 3, 4):
+        opt = onecycle_adamw(total)
+        p = {"w": jnp.ones((3,))}
+        st = opt.init(p)
+        g = {"w": jnp.ones((3,))}
+        for _ in range(total + 1):
+            u, st = opt.update(g, st, p)
+            p = optax.apply_updates(p, u)
+        assert np.isfinite(np.asarray(p["w"])).all(), total
+
+
 def test_vae_schedule_matches_torch_sequential():
     m = torch.nn.Linear(1, 1)
     opt = torch.optim.AdamW(m.parameters(), lr=1e-3, weight_decay=1e-2)
