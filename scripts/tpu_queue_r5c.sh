@@ -1,5 +1,6 @@
 #!/bin/bash
 # Round-5 on-chip wave C — runs strictly AFTER wave B:
+#   0. scaled_lean4 — in-step lean backward at the proven (4,512) config
 #   1. gate_tsae   — the motion gate through TSae latents (VERDICT #3):
 #                    pretrain TSae (teacher-forced, p=0.1 dropout), train
 #                    the DiT on its memory latents, sample through the
@@ -43,6 +44,11 @@ until probe; do
 done
 echo "WAVE B DONE, TUNNEL UP $(date -u +%H:%M:%S)"
 
+# In-step verdict for the lean backward at its round-5 proven config
+# (g4/bq512 — the isolated winner; the r4 negative ran the envelope's
+# g2/bq128 pick). Partner: wave-B scaled_base.
+run_stage scaled_lean4 env T2MS_ATTN_LEAN_BWD=1 \
+  python scripts/bench_scaled.py --modes train
 run_stage gate_tsae python scripts/quality_gate.py \
   --track motion --vae_kind tsae --steps 3000
 run_stage gate8k_ddpm_solver_ab python scripts/quality_gate.py \

@@ -938,6 +938,18 @@ def _bwd_lean_groups(n: int, hd: int, num_heads: int, bpe: int = 2):
     if n % 8 != 0 or n < 128:
         return None
     d = hd // num_heads
+    # Configs MEASURED clean on the real chip at estimates above the
+    # general budget (same rule as _bwd_head_groups' proven table).
+    # (4, 512) at the scaled geometry: round-5 on-chip A/B ranked it
+    # FASTEST of all backward variants (366.6 ms vs grouped-default
+    # 411.5 vs the general-envelope lean pick g2/bq128 483.2 per 20
+    # reps, `.onchip_r05_attn_ab.log`) — the round-4 in-step lean
+    # NEGATIVE was measured through the g2/bq128 envelope pick, not
+    # this config. Smoked via kernel_smoke's lean_bwd entry (auto).
+    proven = {(1024, 512, 8): (4, 512)}
+    got = proven.get((n, hd, num_heads))
+    if got:
+        return got
     budget = 11 * 2 ** 20
     stats = 2 * n * 128 * 4                  # (1, 1, n, 2Hg) lane-padded, x2
     for g in (1, 2, 4, 8, 16):
