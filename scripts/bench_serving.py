@@ -75,6 +75,13 @@ def main():
                         "arrivals independent of service, the textbook "
                         "saturation load). 0 = the closed-loop client "
                         "threads (legacy saturated phase)")
+    p.add_argument("--solver", default="euler",
+                   choices=["euler", "heun", "midpoint"],
+                   help="flow integrator for every engine program — "
+                        "heun with --total_step 25 is the round-5 "
+                        "recommended production config (quality >= "
+                        "euler/100 at the 8000-step gate, half the "
+                        "model evals)")
     args = p.parse_args()
 
     from t2ms_tpu.serving import ServingEngine
@@ -82,7 +89,7 @@ def main():
     tiers = [int(t) for t in args.tiers.split(",")]
     lengths = [int(s) for s in args.lengths.split(",")]
     eng = ServingEngine(dit, vae, d_params, vae_params,
-                        total_step=args.total_step,
+                        total_step=args.total_step, solver=args.solver,
                         out_lengths=tuple(lengths),
                         batch_tiers=tiers, max_wait_ms=args.max_wait_ms,
                         text_emb_dim=128)
@@ -157,6 +164,7 @@ def main():
         "tiers": tiers,
         "lengths": lengths,
         "open_loop_rate": args.rate or None,
+        "solver": args.solver, "total_step": args.total_step,
         "padding_fraction": round(st["padding_fraction"], 4),
         "batches": st["batches"],
         "saturated_p50_s": round(

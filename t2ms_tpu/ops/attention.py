@@ -1293,7 +1293,7 @@ def fused_heads_attention_bwd(q, k, v, g, num_heads: int,
     if block_q and N % block_q:
         raise ValueError(f"block_q {block_q} must divide N={N}")
     if pipelined is None:
-        pipelined = _pipe_bwd_enabled()
+        pipelined = _pipe_bwd_enabled(grouped=head_groups > 1)
     blocked_kernel = (_bwd_pipelined_blocked_kernel if pipelined
                       else _fused_heads_bwd_blocked_kernel)
     if head_groups > 1:
@@ -1349,20 +1349,30 @@ _LEAN_BWD_DEFAULT_ON = False
 
 # Round-5 pipelined single-pass backward (dp hoisted ahead of the
 # softmax, normalization folded into (bq, D) operands — see
-# _bwd_pipelined_blocked_kernel). Flips only on a winning on-chip A/B
-# at the scaled geometry (scripts/bench_attn_bwd_variants.py).
-_PIPE_BWD_DEFAULT_ON = False
+# _bwd_pipelined_blocked_kernel). DEFAULT-ON for the HEAD-GROUPED
+# dispatch only, where the in-step A/B was won: scaled train (B=64,
+# d=512) 5.01 steps/s = 50.4% MFU vs 4.89 = 49.1% default vs 4.80 =
+# 48.2% lean@proven-config (`.onchip_r05_scaled_{pipe,base,lean4}.log`;
+# same-session partners, identical final loss). NOTE the isolated
+# ranking INVERTED in-step a fourth time (pipe lost isolated 476.9 vs
+# grouped 411.5 ms, lean won isolated 366.6 and lost in-step) — only
+# in-step A/Bs decide defaults. Ungrouped geometries (HD=128 whole-row/
+# blocked) have no in-step measurement, so the default there stays the
+# recompute kernel; T2MS_ATTN_PIPE_BWD=1 forces pipelined everywhere.
+_PIPE_BWD_DEFAULT_ON = True
 
 
-def _pipe_bwd_enabled() -> bool:
+def _pipe_bwd_enabled(grouped: bool = True) -> bool:
     """Gate for the pipelined single-pass attention backward:
-    T2MS_ATTN_PIPE_BWD=0 force-disables, =1 force-enables; otherwise
-    the default flag (TPU and CPU-interpret alike — the kernel is
-    geometry-compatible wherever the blocked kernel is)."""
+    T2MS_ATTN_PIPE_BWD=0 force-disables, =1 force-enables everywhere;
+    otherwise the default flag applies only to the head-grouped
+    dispatch (the geometry class where the in-step win is measured)."""
     flag = os.environ.get("T2MS_ATTN_PIPE_BWD", "")
     if flag == "0":
         return False
-    return flag == "1" or _PIPE_BWD_DEFAULT_ON
+    if flag == "1":
+        return True
+    return grouped and _PIPE_BWD_DEFAULT_ON
 
 
 def _lean_bwd_enabled() -> bool:
