@@ -35,11 +35,11 @@ def _flops_per_token_fwd(d, depth, mlp_ratio, n_tokens):
     return depth * (per_layer + attn)
 
 
-def build(B):
+def build(B, heads=8):
     from t2ms_tpu.models.denoisers import DiT
     from t2ms_tpu.models.vae import LAVAE
     dit = DiT(latent_len=64, latent_dim=64, d_model=512, depth=12,
-              num_heads=8, mlp_ratio=4.0, compute_dtype=jnp.bfloat16)
+              num_heads=heads, mlp_ratio=4.0, compute_dtype=jnp.bfloat16)
     vae = LAVAE(in_channels=1, latent_grid=64)
     x = jax.random.normal(jax.random.key(0), (B, 96))
     emb = jax.random.normal(jax.random.key(1), (B, 512))
@@ -77,12 +77,12 @@ def bench_serve(B=16, steps=20):
             "params": n_par, "batch": B, "steps": steps}
 
 
-def bench_train(B=64, n_steps=8, precoded=True):
+def bench_train(B=64, n_steps=8, precoded=True, heads=8):
     import optax
 
     from t2ms_tpu.training.trainer import (TrainState,
                                            make_denoiser_train_step)
-    dit, vae, x, emb, vp, dp, n_par = build(B)
+    dit, vae, x, emb, vp, dp, n_par = build(B, heads)
     opt = optax.adamw(1e-4)
     st = TrainState(dp, opt.init(dp), jnp.zeros((), jnp.int32))
     if precoded:
@@ -115,7 +115,7 @@ def bench_train(B=64, n_steps=8, precoded=True):
             round(1 / dt, 2), "tflops": round(tf, 1),
             "mfu": round(tf / V5E_BF16_PEAK_TFLOPS, 3),
             "params": n_par, "batch": B, "precoded": bool(precoded),
-            "loss": float(loss)}
+            "heads": heads, "loss": float(loss)}
 
 
 def main():
@@ -125,6 +125,11 @@ def main():
     ap.add_argument("--batch", type=int, default=64,
                     help="train batch (serve uses --serve_batch)")
     ap.add_argument("--serve_batch", type=int, default=16)
+    ap.add_argument("--heads", type=int, default=8,
+                    help="head count at d_model=512 (8 -> d=64 heads, "
+                         "the reference-ratio default; 4 -> d=128 heads "
+                         "— the roofline experiment: same FLOPs, double "
+                         "the per-head score-matmul MXU utilization cap)")
     ap.add_argument("--encode_in_step", action="store_true",
                     help="run the frozen-VAE encode inside the train step "
                          "(the pre-latent-cache methodology) instead of "
