@@ -145,7 +145,8 @@ def main():
             print(json.dumps(bench_serve(args.serve_batch)), flush=True)
         else:
             print(json.dumps(bench_train(
-                args.batch, precoded=not args.encode_in_step)), flush=True)
+                args.batch, precoded=not args.encode_in_step,
+                heads=args.heads)), flush=True)
 
 
 if __name__ == "__main__":
