@@ -50,9 +50,9 @@ def build(B, heads=8):
     return dit, vae, x, emb, vp, dp, n_par
 
 
-def bench_serve(B=16, steps=20):
+def bench_serve(B=16, steps=20, heads=8):
     from t2ms_tpu.sampling import make_cfg_sampler
-    dit, vae, x, emb, vp, dp, n_par = build(B)
+    dit, vae, x, emb, vp, dp, n_par = build(B, heads)
     sampler = make_cfg_sampler(dit, vae, "flowmatching", total_step=steps,
                                cfg_scale=7.0, out_length=96)
     out = sampler(dp, vp, jax.random.key(4), x, emb)
@@ -74,7 +74,7 @@ def bench_serve(B=16, steps=20):
     return {"metric": "scaled_dit_serve", "series_per_sec":
             round(B / dt, 2), "tflops": round(tf, 1),
             "mfu": round(tf / V5E_BF16_PEAK_TFLOPS, 3),
-            "params": n_par, "batch": B, "steps": steps}
+            "params": n_par, "batch": B, "heads": heads, "steps": steps}
 
 
 def bench_train(B=64, n_steps=8, precoded=True, heads=8):
@@ -142,7 +142,8 @@ def main():
         ap.error(f"unknown mode(s) {bad}; choose from train,serve")
     for mode in modes:
         if mode == "serve":
-            print(json.dumps(bench_serve(args.serve_batch)), flush=True)
+            print(json.dumps(bench_serve(args.serve_batch,
+                                         heads=args.heads)), flush=True)
         else:
             print(json.dumps(bench_train(
                 args.batch, precoded=not args.encode_in_step,
